@@ -1,0 +1,2 @@
+from .lm import LMConfig, ObjectObservations, optimize_objects  # noqa: F401
+from . import residuals  # noqa: F401
