@@ -1,0 +1,372 @@
+"""Per-frame pipeline orchestrator.
+
+TPU-native re-design of ``/root/reference/src/core/Tracking.cpp``: the host
+drives the frame loop and appends observations into fixed-capacity buffers;
+all heavy per-frame work (single-frame ellipsoid extraction, the global
+object-graph LM) runs as jit-compiled batched device functions with static
+shapes, so every frame after the first reuses the same executables.
+
+Per-frame flow (GrabPoseAndObjects, Tracking.cpp:170-204):
+  1. record frame
+  2. UpdateObjectObservation (:493-564): ground-plane estimation (once),
+     per-bbox 3D ellipsoid extraction, data association (manual column 7 or
+     automatic), key-observation gating, store 2D/3D observations
+  3. JudgeInitialization (:566-638): SVD init after enough 2D observations,
+     or direct seeding from the latest single-frame 3D estimate
+  4. ProcessCurrentFrame (:219-257): global object-graph optimization over
+     all observations (every frame, like the reference)
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..assoc import InstanceCounter, associate_observations
+from ..backend import LMConfig, ObjectObservations, optimize_objects
+from ..core import camera as cam_mod
+from ..core import se3
+from ..init import init_quadric_svd
+from ..io.config import Config
+from ..utils import calibrate_measurement_np
+from .state import ObjectRecord, SlamState
+
+import jax
+
+
+def _np_se3_inv(p):
+    import numpy as _np
+    q = p[3:] * _np.array([-1.0, -1, -1, 1])
+    x, y, z, w = q
+    t = p[:3]
+    # rotate -t by q
+    qv = q[:3]
+    tt = 2.0 * _np.cross(qv, -t)
+    rt = -t + w * tt + _np.cross(qv, tt)
+    return _np.concatenate([rt, q])
+
+
+def _np_se3_mul(a, b):
+    qa, qb = a[3:], b[3:]
+    x1, y1, z1, w1 = qa
+    x2, y2, z2, w2 = qb
+    q = np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ])
+    qv, w = qa[:3], qa[3]
+    t2 = 2.0 * np.cross(qv, b[:3])
+    tb = b[:3] + w * t2 + np.cross(qv, t2)
+    return np.concatenate([a[:3] + tb, q / np.linalg.norm(q)])
+
+
+class Tracking:
+    """Host orchestrator with jitted device kernels.
+
+    ``extractor``: optional callable implementing single-frame ellipsoid
+    estimation.  Signature: ``extractor(depth_u16, bboxes[N,4], labels[N],
+    pose_wc7, ground_plane_vec4) -> (vec10_local[N,10], prob[N], valid[N])``.
+    """
+
+    # fixed capacities of the batched backend call
+    MAX_OBJECTS = 24
+    MAX_OBS2D = 512
+    MAX_OBS3D = 256
+
+    def __init__(self, config: Config,
+                 extractor: Optional[Callable] = None,
+                 plane_estimator: Optional[Callable] = None):
+        self.cfg = config
+        self.camera = cam_mod.Camera(
+            fx=config.get_float("Camera.fx"),
+            fy=config.get_float("Camera.fy"),
+            cx=config.get_float("Camera.cx"),
+            cy=config.get_float("Camera.cy"),
+            scale=config.get_float("Camera.scale"),
+            width=config.get_int("Camera.width", 640),
+            height=config.get_int("Camera.height", 480),
+        )
+        self.K = self.camera.K
+        self.rows = self.camera.height
+        self.cols = self.camera.width
+        self.state = SlamState()
+        self.extractor = extractor
+        self.plane_estimator = plane_estimator
+        self.da_counter = InstanceCounter()
+        self.open_optimization = True
+        self.depth_ellipsoid_opened = extractor is not None
+
+        self.lm_cfg = LMConfig(
+            scale_3d=config.get_float("Optimizer.Edges.3DEllipsoid.Scale", 1.0),
+            gravity_scale=config.get_float("Optimizer.Edges.GravityPrior.Scale", 1.0),
+            gravity_on=config.get_int("Optimizer.Edges.GravityPrior.Open") == 1,
+        )
+        self.border_px = config.get_int("Measurement.Border.Pixels")
+        self.length_limit_px = config.get_int("Measurement.LengthLimit.Pixels")
+        self.min_init_frames = int(config.read_value(
+            "Tracking_MINIMUM_INITIALIZATION_FRAME"))
+        self.keyframe_check_close = config.get_int(
+            "Tracking.KeyFrameCheck.Close") == 1
+
+        self._opt_fn = jax.jit(optimize_objects, static_argnames=("cfg",))
+        self._init_fn = jax.jit(
+            lambda p, b, m, K: init_quadric_svd(p, b, m, K,
+                                                self.rows, self.cols))
+        # per-frame instrumentation (seconds), see SURVEY.md section 5
+        self.metrics: Dict[str, List[float]] = {"backend": [], "frontend": [],
+                                                "total": []}
+
+    # ------------------------------------------------------------------
+    def open_ground_plane_estimation(self):
+        """Tracking.cpp:690-703."""
+        self.state.ground_state = 1
+
+    # ------------------------------------------------------------------
+    def grab_pose_and_objects(self, timestamp: float, pose_wc: np.ndarray,
+                              det_mat: np.ndarray, depth: Optional[np.ndarray],
+                              rgb: Optional[np.ndarray] = None,
+                              with_association: bool = True) -> bool:
+        """One frame of the pipeline (System::TrackWithObjects entry)."""
+        import time
+        t0 = time.perf_counter()
+        pose_wc = np.asarray(pose_wc, np.float64)
+        frame_id = len(self.state.frames_pose_wc)
+        self.state.frames_pose_wc.append(pose_wc)
+        self.state.frames_ts.append(timestamp)
+        det_mat = np.asarray(det_mat, np.float64).reshape(-1, 8) \
+            if det_mat is not None and det_mat.size else np.zeros((0, 8))
+
+        # ---- [1.1] ground plane estimation (once) ---------------------
+        if self.state.ground_state == 1 and self.plane_estimator is not None \
+                and depth is not None:
+            plane_cam = self.plane_estimator(depth)
+            if plane_cam is not None:
+                pw = np.asarray(plane_cam, np.float64)
+                # to world (Tracking.cpp:723-724)
+                from ..core import plane as plane_mod
+                pw = np.asarray(plane_mod.transform(
+                    jnp.asarray(pw.astype(np.float32)),
+                    jnp.asarray(pose_wc.astype(np.float32))), np.float64)
+                self.state.ground_plane = pw
+                self.state.ground_state = 2
+
+        # ---- [1.2] single-frame ellipsoid estimation ------------------
+        n_det = det_mat.shape[0]
+        local_vec10 = np.zeros((n_det, 10))
+        local_prob = np.zeros(n_det)
+        local_valid = np.zeros(n_det, bool)
+        if self.depth_ellipsoid_opened and depth is not None and n_det > 0 \
+                and self.state.ground_state == 2:
+            bboxes = det_mat[:, 1:5].copy()
+            labels = det_mat[:, 5].astype(int)
+            # gates c1 (border) and c3 (invalid manual association)
+            run = np.ones(n_det, bool)
+            for i in range(n_det):
+                _, is_border = calibrate_measurement_np(
+                    bboxes[i], self.rows, self.cols, self.border_px,
+                    self.length_limit_px)
+                if is_border:
+                    run[i] = False
+                if with_association and det_mat[i, 7] < 0:
+                    run[i] = False
+            if np.any(run):
+                v10, pr, va = self.extractor(depth, bboxes, labels,
+                                             pose_wc, self.state.ground_plane)
+                local_vec10[run] = np.asarray(v10)[run]
+                local_prob[run] = np.asarray(pr)[run]
+                local_valid[run] = np.asarray(va)[run]
+
+        # ---- [1.3] data association ----------------------------------
+        if with_association:
+            associations = [int(round(det_mat[i, 7])) for i in range(n_det)]
+        else:
+            # automatic: by world-center distance to map objects
+            centers = np.zeros((n_det, 3))
+            for i in range(n_det):
+                if local_valid[i]:
+                    world = _np_se3_mul(pose_wc, local_vec10[i, :7])
+                    centers[i] = world[:3]
+            inst_ids = self.state.initialized_instances()
+            map_centers = np.array([self.state.objects[i].vec10[:3]
+                                    for i in inst_ids]).reshape(-1, 3)
+            associations = associate_observations(
+                centers, local_valid, inst_ids, map_centers, self.da_counter)
+
+        # ---- [1.4] key-observation gating (Tracking.cpp:421-475) ------
+        kf_checks = self._check_keyframes(associations, pose_wc)
+
+        # ---- [1.5] store observations --------------------------------
+        pose_cw = _np_se3_inv(pose_wc)
+        for i in range(n_det):
+            inst = associations[i]
+            if inst < 0 or not kf_checks[i]:
+                continue
+            # 3D observation
+            if local_valid[i]:
+                rec = self.state.record(inst)
+                rec.obs3d_pose_wc.append(pose_wc)
+                rec.obs3d_meas.append(local_vec10[i])
+                rec.obs3d_prob.append(float(local_prob[i]))
+                rec.obs3d_frame.append(frame_id)
+                if rec.label < 0:
+                    rec.label = int(det_mat[i, 5])
+            # 2D observation
+            meas = det_mat[i, 1:5].copy()
+            meas_cal, is_border = calibrate_measurement_np(
+                meas, self.rows, self.cols, self.border_px,
+                self.length_limit_px)
+            if is_border:
+                continue
+            rec = self.state.record(inst)
+            rec.obs2d_pose_cw.append(pose_cw)
+            rec.obs2d_pose_wc.append(pose_wc)
+            rec.obs2d_bbox.append(meas_cal)
+            rec.obs2d_prob.append(float(det_mat[i, 6]))
+            rec.obs2d_frame.append(frame_id)
+            if rec.label < 0:
+                rec.label = int(det_mat[i, 5])
+
+        t1 = time.perf_counter()
+
+        # ---- [2] initialization (Tracking.cpp:566-638) ----------------
+        self._judge_initialization()
+
+        # ---- [3] global optimization ----------------------------------
+        t2 = time.perf_counter()
+        if self.open_optimization and self.state.initialized_instances():
+            self._run_backend()
+            self._refresh_history()
+        t3 = time.perf_counter()
+        self.metrics["frontend"].append(t1 - t0)
+        self.metrics["backend"].append(t3 - t2)
+        self.metrics["total"].append(t3 - t0)
+        return True
+
+    # ------------------------------------------------------------------
+    def _check_keyframes(self, associations, pose_wc) -> List[bool]:
+        if self.keyframe_check_close:
+            dis_th, ang_th = 0.0, 0.0
+        else:
+            dis_th, ang_th = 0.4, math.pi / 180.0 * 15  # Tracking.cpp:433-434
+        checks = []
+        for inst in associations:
+            if inst < 0:
+                checks.append(False)
+                continue
+            rec = self.state.objects.get(inst)
+            if rec is None or not rec.obs2d_pose_wc:
+                checks.append(True)
+                continue
+            last = rec.obs2d_pose_wc[-1]
+            diff = _np_se3_mul(_np_se3_inv(pose_wc), last)
+            dis = float(np.linalg.norm(diff[:3]))
+            w = np.clip(abs(diff[6]), -1, 1)
+            angle = 2.0 * math.acos(min(1.0, w))
+            checks.append(dis > dis_th or angle > ang_th)
+        return checks
+
+    # ------------------------------------------------------------------
+    def _judge_initialization(self):
+        # 2D SVD path
+        for inst, rec in self.state.objects.items():
+            if rec.initialized or len(rec.obs2d_bbox) < self.min_init_frames:
+                continue
+            M = len(rec.obs2d_bbox)
+            cap = max(M, 16)
+            poses = np.zeros((cap, 7), np.float32)
+            bboxes = np.full((cap, 4), -1.0, np.float32)
+            mask = np.zeros(cap, bool)
+            poses[:M] = np.stack(rec.obs2d_pose_wc).astype(np.float32)
+            bboxes[:M] = np.stack(rec.obs2d_bbox).astype(np.float32)
+            mask[:M] = True
+            res = self._init_fn(jnp.asarray(poses), jnp.asarray(bboxes),
+                                jnp.asarray(mask), jnp.asarray(self.K))
+            if bool(res.ok):
+                rec.vec10 = np.asarray(res.ellipsoid, np.float64)
+                rec.initialized = True
+
+        # 3D path: seed directly from the latest local estimate
+        if self.depth_ellipsoid_opened:
+            for inst, rec in self.state.objects.items():
+                if rec.initialized or not rec.obs3d_meas:
+                    continue
+                pose_wc = rec.obs3d_pose_wc[-1]
+                local = rec.obs3d_meas[-1]
+                world_pose = _np_se3_mul(pose_wc, local[:7])
+                rec.vec10 = np.concatenate([world_pose, local[7:]])
+                rec.initialized = True
+                rec.init_by_3d = True
+
+    # ------------------------------------------------------------------
+    def _build_backend_batch(self) -> ObjectObservations:
+        O, M2, M3 = self.MAX_OBJECTS, self.MAX_OBS2D, self.MAX_OBS3D
+        est0 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32),
+                       (O, 1))
+        obj_mask = np.zeros(O, bool)
+        p2 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (O, M2, 1))
+        b2 = np.full((O, M2, 4), -1.0, np.float32)
+        pr2 = np.zeros((O, M2), np.float32)
+        m2 = np.zeros((O, M2), bool)
+        p3 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (O, M3, 1))
+        me3 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32),
+                      (O, M3, 1))
+        pr3 = np.zeros((O, M3), np.float32)
+        m3 = np.zeros((O, M3), bool)
+
+        self._slot_to_instance = []
+        for slot, inst in enumerate(sorted(self.state.initialized_instances())):
+            if slot >= O:
+                break
+            rec = self.state.objects[inst]
+            self._slot_to_instance.append(inst)
+            est0[slot] = rec.vec10.astype(np.float32)
+            obj_mask[slot] = True
+            n2 = min(len(rec.obs2d_bbox), M2)
+            if n2:
+                p2[slot, :n2] = np.stack(rec.obs2d_pose_cw[-n2:]).astype(np.float32)
+                b2[slot, :n2] = np.stack(rec.obs2d_bbox[-n2:]).astype(np.float32)
+                pr2[slot, :n2] = np.asarray(rec.obs2d_prob[-n2:], np.float32)
+                m2[slot, :n2] = True
+            n3 = min(len(rec.obs3d_meas), M3)
+            if n3:
+                p3[slot, :n3] = np.stack(rec.obs3d_pose_wc[-n3:]).astype(np.float32)
+                me3[slot, :n3] = np.stack(rec.obs3d_meas[-n3:]).astype(np.float32)
+                pr3[slot, :n3] = np.asarray(rec.obs3d_prob[-n3:], np.float32)
+                m3[slot, :n3] = True
+
+        return ObjectObservations(
+            est0=jnp.asarray(est0), obj_mask=jnp.asarray(obj_mask),
+            pose2d_cw=jnp.asarray(p2), bbox2d=jnp.asarray(b2),
+            prob2d=jnp.asarray(pr2), mask2d=jnp.asarray(m2),
+            pose3d_wc=jnp.asarray(p3), meas3d=jnp.asarray(me3),
+            prob3d=jnp.asarray(pr3), mask3d=jnp.asarray(m3))
+
+    def _run_backend(self):
+        obs = self._build_backend_batch()
+        gset = self.state.ground_plane is not None
+        normal = (self.state.ground_plane[:3].astype(np.float32)
+                  if gset else np.zeros(3, np.float32))
+        est, chi2 = self._opt_fn(obs, jnp.asarray(self.K.astype(np.float32)),
+                                 jnp.asarray(normal), gset, self.lm_cfg)
+        est = np.asarray(est, np.float64)
+        for slot, inst in enumerate(self._slot_to_instance):
+            self.state.objects[inst].vec10 = est[slot]
+
+    # ------------------------------------------------------------------
+    def _refresh_history(self):
+        """Tracking.cpp:810-852."""
+        from ..core import ellipsoid as ell_mod
+        for inst in self.state.initialized_instances():
+            rec = self.state.objects[inst]
+            vec9 = np.asarray(ell_mod.to_minimal(
+                jnp.asarray(rec.vec10.astype(np.float32))), np.float64)
+            n_obs = len(rec.obs2d_bbox)
+            row = np.concatenate([[n_obs, 1], vec9])
+            if rec.history and int(rec.history[-1][0]) == n_obs:
+                rec.history[-1] = row
+            else:
+                rec.history.append(row)
