@@ -134,7 +134,8 @@ def _solve_object(e0, obs: ObjectObservations, o_idx, K, normal,
         lam0 = jnp.maximum(lam0, 1e-12)
 
         A = H + lam0 * jnp.eye(9, dtype=H.dtype)
-        du = -jnp.linalg.solve(A, g)
+        from ..ops.linalg import chol_solve_small
+        du = -chol_solve_small(A, g)
         du = jnp.where(jnp.all(jnp.isfinite(du)), du, jnp.zeros_like(du))
 
         e_new = ell.exp_update(e, du)

@@ -145,6 +145,24 @@ def project_center(e: jnp.ndarray, pose_cw: jnp.ndarray,
     return u[:2] / u[2]
 
 
+def _conic_cstar(e: jnp.ndarray, pose_cw: jnp.ndarray,
+                 K: jnp.ndarray) -> jnp.ndarray:
+    """Dual conic C* = P Q* P^T in closed form.
+
+    With Q* = [[R S^2 R^T - t t^T, -t], [-t^T, -1]] and P = K [R_cw | t_cw],
+    the product collapses to C* = (W S)(W S)^T - v v^T where W = K R_cw R
+    and v = K (R_cw t + t_cw) -- three small matmuls instead of 4x4
+    homogeneous chains, an ~3x op-count cut in the BA hot loop.
+    """
+    R = se3.quat_to_mat(e[3:7])
+    R_cw = se3.quat_to_mat(pose_cw[3:])
+    A = K @ R_cw
+    W = A @ R
+    WS = W * e[7:10][None, :]
+    v = A @ e[:3] + K @ pose_cw[:3]
+    return WS @ WS.T - jnp.outer(v, v)
+
+
 def project_ellipse(e: jnp.ndarray, pose_cw: jnp.ndarray,
                     K: jnp.ndarray) -> jnp.ndarray:
     """Project to an image ellipse [x_c, y_c, theta, axis1, axis2].
@@ -153,10 +171,11 @@ def project_ellipse(e: jnp.ndarray, pose_cw: jnp.ndarray,
     conic -> ellipse parameter extraction (Ellipsoid.cpp:209-249; same
     coefficient formulas, kept verbatim for behavioral parity).
     """
-    Qs = quadric_Qstar(e)
-    P = projection_matrix(pose_cw, K)
-    C_star = P @ Qs @ P.T
-    C = jnp.linalg.inv(C_star)
+    C_star = _conic_cstar(e, pose_cw, K)
+    # closed-form 3x3 inverse: LU-based jnp.linalg.inv serializes on TPU when
+    # vmapped over every edge of the BA graph (ops/linalg.py)
+    from ..ops.linalg import inv3
+    C = inv3(C_star)
     C = C / C[2, 2]
 
     a = C[0, 0]

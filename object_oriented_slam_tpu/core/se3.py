@@ -203,11 +203,29 @@ def se3_exp(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([V @ upsilon, q])
 
 
+def _so3_left_jacobian_inv(omega: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form V^-1 = I - 1/2 [w]x + c [w]x^2 with
+    c = (1 - (theta/2) cot(theta/2)) / theta^2.
+
+    Avoids the LU solve of jnp.linalg.solve, which serializes on TPU when
+    vmapped over every 3D edge of the BA graph.
+    """
+    theta2 = jnp.dot(omega, omega)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    Om = skew(omega)
+    Om2 = Om @ Om
+    half = 0.5 * theta
+    cot_term = half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS)
+    c = jnp.where(theta2 > 1e-10,
+                  (1.0 - cot_term) / jnp.maximum(theta2, _EPS),
+                  1.0 / 12.0 + theta2 / 720.0)
+    return jnp.eye(3, dtype=omega.dtype) - 0.5 * Om + c * Om2
+
+
 def se3_log(a: jnp.ndarray) -> jnp.ndarray:
     """pose7 -> tangent (6,) [omega, upsilon], inverse of se3_exp."""
     omega = so3_log(a[3:])
-    V = _so3_left_jacobian(omega)
-    upsilon = jnp.linalg.solve(V, a[:3])
+    upsilon = _so3_left_jacobian_inv(omega) @ a[:3]
     return jnp.concatenate([omega, upsilon])
 
 

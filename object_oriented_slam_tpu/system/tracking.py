@@ -276,7 +276,11 @@ class Tracking:
             if rec.initialized or len(rec.obs2d_bbox) < self.min_init_frames:
                 continue
             M = len(rec.obs2d_bbox)
-            cap = max(M, 16)
+            # pad to the next power of two so the jitted initializer compiles
+            # only O(log M) distinct shapes over a whole run
+            cap = 16
+            while cap < M:
+                cap *= 2
             poses = np.zeros((cap, 7), np.float32)
             bboxes = np.full((cap, 4), -1.0, np.float32)
             mask = np.zeros(cap, bool)
