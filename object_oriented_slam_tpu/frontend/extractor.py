@@ -123,27 +123,71 @@ def _finish_one(Two, pts_n, obj_m, pose_wc):
 
 @partial(jax.jit, static_argnames=("cam", "cfg"))
 def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
-                             cam: Camera, cfg: ExtractorConfig):
+                             cam: Camera, cfg: ExtractorConfig,
+                             sym_types=None):
     """Batched single-frame estimation over all detections.
 
     depth: [H, W] int32; bboxes: [D, 4]; run_mask: [D]; pose_wc: (7,);
-    ground_plane: (4,) world frame.
-    Returns (local vec10 [D, 10], prob [D], valid [D]).
+    ground_plane: (4,) world frame; sym_types: [D] int {0 none,
+    1 reflection, 2 dual} (only used when cfg.open_symmetry).
+    Returns (local vec10 [D, 10], prob [D], valid [D], debug tuple).
     """
     depth = depth.astype(jnp.int32)
     bboxes = bboxes.astype(jnp.float32)
     pose_wc = pose_wc.astype(jnp.float32)
     ground_plane = ground_plane.astype(jnp.float32)
+    if sym_types is None:
+        sym_types = jnp.zeros(bboxes.shape[0], jnp.int32)
 
-    def one(bbox, run):
+    if cfg.open_symmetry:
+        from ..ops import backproject as bp_mod
+        from . import symmetry as sym_mod
+        proj_depth = bp_mod.proj_depth_map(depth, cam)
+        sym_cfg = sym_mod.SymmetryConfig()
+
+    def one(bbox, run, sym_type):
         Two, pts_n, obj_m, valid = _extract_one(
             depth, bbox, pose_wc, ground_plane, cam, cfg)
-        e_local, e_world = _finish_one(Two, pts_n, obj_m, pose_wc)
         prob = jnp.float32(1.0)
-        ok = valid & run & jnp.all(jnp.isfinite(e_local))
-        return e_local, prob, ok, pts_n, obj_m, Two
 
-    e_local, prob, ok, pts_n, obj_m, Two = jax.vmap(one)(bboxes, run_mask)
+        if cfg.open_symmetry:
+            from . import symmetry as sym_mod
+            pose_oc = se3.se3_mul(se3.se3_inv(Two), pose_wc)
+            res_s = sym_mod.estimate_symmetry(pts_n, obj_m, bbox, pose_oc,
+                                              proj_depth, cam, dual=False,
+                                              cfg=sym_cfg)
+            res_d = sym_mod.estimate_symmetry(pts_n, obj_m, bbox, pose_oc,
+                                              proj_depth, cam, dual=True,
+                                              cfg=sym_cfg)
+            pts_s, m_s, Tom_s = sym_mod.complete_cloud(pts_n, obj_m, res_s,
+                                                       dual=False)
+            pts_d, m_d, Tom_d = sym_mod.complete_cloud(pts_n, obj_m, res_d,
+                                                       dual=True)
+            use_sym = sym_type > 0
+            use_dual = sym_type == 2
+            pts_sym = jnp.where(use_dual, pts_d, pts_s)
+            m_sym = jnp.where(use_dual, m_d, m_s)
+            Tom = jnp.where(use_dual, Tom_d, Tom_s)
+            sym_prob = jnp.where(use_dual, res_d.prob, res_s.prob)
+
+            # no-symmetry fallback padded to the same 4S capacity
+            S = pts_n.shape[0]
+            pts_plain = jnp.concatenate([pts_n, jnp.zeros((3 * S, 3))])
+            m_plain = jnp.concatenate([obj_m, jnp.zeros(3 * S, bool)])
+
+            pts_fin = jnp.where(use_sym, pts_sym, pts_plain)
+            m_fin = jnp.where(use_sym, m_sym, m_plain)
+            Two_fin = jnp.where(use_sym, se3.se3_mul(Two, Tom), Two)
+            prob = jnp.where(use_sym, sym_prob, 1.0)
+        else:
+            pts_fin, m_fin, Two_fin = pts_n, obj_m, Two
+
+        e_local, e_world = _finish_one(Two_fin, pts_fin, m_fin, pose_wc)
+        ok = valid & run & jnp.all(jnp.isfinite(e_local)) & (prob > 1e-8)
+        return e_local, prob, ok, pts_fin, m_fin, Two_fin
+
+    e_local, prob, ok, pts_n, obj_m, Two = jax.vmap(one)(bboxes, run_mask,
+                                                         sym_types)
     return e_local, prob, ok, (pts_n, obj_m, Two)
 
 
@@ -155,16 +199,20 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
         if ground_plane is None:
             n = len(bboxes)
             return (np.zeros((n, 10)), np.zeros(n), np.zeros(n, bool))
+        from .symmetry import sym_type_of_labels
         D = len(bboxes)
         pad = 8
         bb = np.zeros((pad, 4), np.float32)
         bb[:D] = bboxes[:pad]
         run = np.zeros(pad, bool)
         run[:D] = True
+        st = np.zeros(pad, np.int32)
+        st[:D] = sym_type_of_labels(labels[:pad])
         e, p, v, _ = extract_local_ellipsoids(
             jnp.asarray(depth_u16.astype(np.int32)), jnp.asarray(bb),
             jnp.asarray(run), jnp.asarray(pose_wc.astype(np.float32)),
-            jnp.asarray(ground_plane.astype(np.float32)), cam, cfg)
+            jnp.asarray(ground_plane.astype(np.float32)), cam, cfg,
+            sym_types=jnp.asarray(st))
         return (np.asarray(e, np.float64)[:D], np.asarray(p, np.float64)[:D],
                 np.asarray(v)[:D])
 
