@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""TUM RGB-D demo driver.
+
+Mirrors ``/root/reference/Example/interface/rgbd.cpp``:
+
+    python examples/run_tum.py <settings.yaml> <dataset_dir> [options]
+
+Loads the sequence + bbox detections, runs the full pipeline per frame
+(ground-plane estimation, single-frame ellipsoid extraction with symmetry,
+data association, SVD/3D initialization, global object-graph LM), and saves
+``objects.txt`` / ``object_history.txt`` plus optional visualizations.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("dataset")
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--no-depth", action="store_true",
+                    help="2D-only pipeline (no ellipsoid extraction)")
+    ap.add_argument("--no-symmetry", action="store_true")
+    ap.add_argument("--auto-assoc", action="store_true",
+                    help="automatic data association instead of column 7")
+    ap.add_argument("--odometry", default=None,
+                    help="odometry txt (ts x y z qx qy qz qw)")
+    ap.add_argument("--build-dense", action="store_true",
+                    help="accumulate a dense colored map (PLY)")
+    ap.add_argument("--viz", action="store_true",
+                    help="save per-frame renders + final map image")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--checkpoint", default=None,
+                    help="save state checkpoint at the end")
+    args = ap.parse_args()
+
+    import numpy as np
+    from object_oriented_slam_tpu.core.camera import Camera
+    from object_oriented_slam_tpu.frontend import (ExtractorConfig,
+                                                   make_extractor,
+                                                   make_plane_estimator)
+    from object_oriented_slam_tpu.io import Config, TUMDataset
+    from object_oriented_slam_tpu.system import System
+    from object_oriented_slam_tpu.system.metrics import timing_summary
+
+    cfg = Config(args.settings)
+    cam = Camera(fx=cfg.get_float("Camera.fx"), fy=cfg.get_float("Camera.fy"),
+                 cx=cfg.get_float("Camera.cx"), cy=cfg.get_float("Camera.cy"),
+                 scale=cfg.get_float("Camera.scale"),
+                 width=cfg.get_int("Camera.width", 640),
+                 height=cfg.get_int("Camera.height", 480))
+
+    ds = TUMDataset(args.dataset)
+    if args.odometry:
+        ds.set_odometry(args.odometry)
+
+    extractor = None
+    plane_est = None
+    if not args.no_depth:
+        open_sym = (not args.no_symmetry
+                    and cfg.get_int("EllipsoidExtraction.Symmetry.Open") == 1)
+        ext_cfg = ExtractorConfig(
+            depth_range=cfg.read_value("EllipsoidExtractor_DEPTH_RANGE", 6.0),
+            cluster_tolerance=cfg.get_float(
+                "EllipsoidExtraction.Euclidean.ClusterTolerance", 0.02),
+            cluster_min_size=cfg.get_int(
+                "EllipsoidExtraction.Euclidean.MinClusterSize", 100),
+            cluster_center_dis=cfg.get_float(
+                "EllipsoidExtraction.Euclidean.CenterDis", 0.5),
+            sym_grid=cfg.get_float("EllipsoidExtraction.Symmetry.GridSize",
+                                   0.1),
+            open_symmetry=open_sym)
+        extractor = make_extractor(cam, ext_cfg)
+        plane_est = make_plane_estimator(cam)
+
+    slam = System(args.settings, extractor=extractor,
+                  plane_estimator=plane_est)
+    if not args.no_depth:
+        slam.open_ground_plane_estimation()
+
+    builder = None
+    if args.build_dense:
+        from object_oriented_slam_tpu.system.dense_builder import DenseBuilder
+        builder = DenseBuilder(cam)
+
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    n = 0
+    for i, ts, pose, depth, rgb, det in ds.frames():
+        slam.track_with_objects(ts, pose, det, depth=depth, rgb=rgb,
+                                with_association=not args.auto_assoc)
+        if builder is not None:
+            builder.process_frame(rgb, depth, pose)
+        if args.viz and rgb is not None:
+            from object_oriented_slam_tpu.viz.export import draw_frame
+            import cv2
+            img = draw_frame(rgb, det, slam.map_objects, pose, cam.K)
+            cv2.imwrite(os.path.join(args.out, f"frame_{i:04d}.png"), img)
+        n += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+    dt = time.time() - t0
+    print(f"Processed {n} frames in {dt:.1f}s ({n / dt:.2f} fps)")
+    print("Timing:", timing_summary(slam.tracker.metrics))
+
+    slam.save_objects_to_file(os.path.join(args.out, "objects.txt"))
+    slam.save_object_history(os.path.join(args.out, "object_history.txt"))
+    print("Objects:")
+    for inst, v in slam.map_objects.items():
+        print(f"  #{inst}: {np.round(v, 4)}")
+
+    if builder is not None:
+        builder.save_ply(os.path.join(args.out, "map.ply"))
+        print("Saved dense map.ply")
+    if args.viz:
+        from object_oriented_slam_tpu.viz.export import render_map
+        traj = np.stack(slam.tracker.state.frames_pose_wc)[:, :3]
+        cloud = builder.get_map()[0] if builder is not None else None
+        render_map(slam.map_objects, traj,
+                   slam.tracker.state.ground_plane, cloud,
+                   os.path.join(args.out, "map.png"))
+        print("Saved map.png")
+    if args.checkpoint:
+        from object_oriented_slam_tpu.system.checkpoint import save_state
+        save_state(slam.tracker.state, args.checkpoint)
+        print(f"Saved checkpoint to {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,11 +72,29 @@ class LMConfig(NamedTuple):
     gravity_on: bool = True          # Optimizer.Edges.GravityPrior.Open
     iters: int = 10                  # Optimizer.cpp:291
     min_2d_obs: int = 3              # "> 2 observations" gate (:201)
+    huber_delta: float = 0.0         # >0 enables the Huber kernel the
+                                     # reference keeps disabled
+                                     # (Optimizer.cpp:224)
+
+
+def _huber_weight(r_edge: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS sqrt-weight of the Huber kernel per edge row.
+
+    g2o RobustKernelHuber: rho(s) = s for s <= delta^2, else
+    2*delta*sqrt(s) - delta^2; the residual reweight is sqrt(rho'(s)).
+    Frozen with stop_gradient (standard IRLS) so jacobians use the
+    current-iterate weights.
+    """
+    s = jnp.sum(r_edge * r_edge, axis=-1)
+    w = jnp.where(s > delta * delta,
+                  jnp.sqrt(delta / jnp.maximum(jnp.sqrt(s), 1e-12)), 1.0)
+    return jax.lax.stop_gradient(w)
 
 
 def _weighted_residual(e: jnp.ndarray, obs: ObjectObservations, o_idx,
                        K: jnp.ndarray, normal: jnp.ndarray,
-                       w2d: jnp.ndarray, w3d: jnp.ndarray, wg: jnp.ndarray):
+                       w2d: jnp.ndarray, w3d: jnp.ndarray, wg: jnp.ndarray,
+                       huber_delta: float = 0.0):
     """Stacked sqrt-info-weighted residual for a single object.
 
     The weights already fold in edge masks (zero weight = inactive edge),
@@ -87,9 +105,14 @@ def _weighted_residual(e: jnp.ndarray, obs: ObjectObservations, o_idx,
     r3 = jax.vmap(lambda p, m: res.residual_3d(e, p, m))(
         obs.pose3d_wc[o_idx], obs.meas3d[o_idx])            # [M3, 9]
     rg = res.residual_gravity(e, normal)                    # [1]
+    r2 = r2 * w2d[:, None]
+    r3 = r3 * w3d[:, None]
+    if huber_delta > 0.0:
+        r2 = r2 * _huber_weight(r2, huber_delta)[:, None]
+        r3 = r3 * _huber_weight(r3, huber_delta)[:, None]
     r = jnp.concatenate([
-        (r2 * w2d[:, None]).reshape(-1),
-        (r3 * w3d[:, None]).reshape(-1),
+        r2.reshape(-1),
+        r3.reshape(-1),
         rg * wg,
     ])
     return jnp.where(jnp.isfinite(r), r, 0.0)
@@ -118,7 +141,7 @@ def _solve_object(e0, obs: ObjectObservations, o_idx, K, normal,
 
     def rfun(u, e):
         return _weighted_residual(ell.exp_update(e, u), obs, o_idx, K,
-                                  normal, w2d, w3d, wg)
+                                  normal, w2d, w3d, wg, cfg.huber_delta)
 
     def chi2_of(e):
         r = rfun(jnp.zeros(9, e0.dtype), e)

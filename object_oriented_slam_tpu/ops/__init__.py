@@ -1,1 +1,1 @@
-from . import backproject, cluster, pca, voxel  # noqa: F401
+from . import backproject, cluster, filters, linalg, pca, polygon, voxel  # noqa: F401

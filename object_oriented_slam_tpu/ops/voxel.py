@@ -48,3 +48,30 @@ def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     out_mask = cnts[:capacity] > 0
     out = jnp.where(out_mask[:, None], out, 0.0)
     return out, out_mask
+
+
+def voxel_downsample_attrs(pts: jnp.ndarray, attrs: jnp.ndarray,
+                           mask: jnp.ndarray, leaf: float, capacity: int):
+    """Like voxel_downsample but also averages per-point attributes
+    (e.g. RGB) within each cell. Returns (pts, attrs, mask)."""
+    key = voxel_keys(pts, mask, leaf)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pts_s = pts[order]
+    attrs_s = attrs[order]
+    valid_s = key_s != _INVALID
+
+    is_new = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+    is_new = is_new & valid_s
+    seg = jnp.cumsum(is_new) - 1
+    seg = jnp.where(valid_s, seg, capacity)
+
+    psum = jax.ops.segment_sum(pts_s, seg, num_segments=capacity + 1)
+    asum = jax.ops.segment_sum(attrs_s, seg, num_segments=capacity + 1)
+    cnts = jax.ops.segment_sum(jnp.ones_like(seg, jnp.float32), seg,
+                               num_segments=capacity + 1)
+    c = jnp.maximum(cnts[:capacity, None], 1.0)
+    out_mask = cnts[:capacity] > 0
+    out_p = jnp.where(out_mask[:, None], psum[:capacity] / c, 0.0)
+    out_a = jnp.where(out_mask[:, None], asum[:capacity] / c, 0.0)
+    return out_p, out_a, out_mask

@@ -1,0 +1,118 @@
+"""Aux subsystem tests: filters, dense builder, metrics, checkpoint, viz."""
+import jax.numpy as jnp
+import numpy as np
+
+from object_oriented_slam_tpu.core.camera import Camera
+from object_oriented_slam_tpu.ops import filters as fl
+from object_oriented_slam_tpu.system import checkpoint as ckpt
+from object_oriented_slam_tpu.system import metrics as mt
+from object_oriented_slam_tpu.system.dense_builder import DenseBuilder, save_ply
+from object_oriented_slam_tpu.system.state import ObjectRecord, SlamState
+
+RNG = np.random.default_rng(21)
+CAM = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0)
+
+
+def test_statistical_outlier_removal():
+    cloud = RNG.normal(0, 0.05, (200, 3)).astype(np.float32)
+    cloud[:5] += 5.0  # gross outliers
+    mask = np.ones(200, bool)
+    inl = np.asarray(fl.statistical_outlier_mask(jnp.asarray(cloud),
+                                                 jnp.asarray(mask), k=10))
+    assert not inl[:5].any()
+    assert inl[5:].mean() > 0.9
+
+
+def test_points_inside_quadric():
+    e = jnp.asarray(np.array([0, 0, 0, 0, 0, 0, 1, 1, 0.5, 0.25], np.float32))
+    pts = np.array([[0, 0, 0], [0.9, 0, 0], [0, 0.6, 0], [0, 0, 0.3]],
+                   np.float32)
+    m = np.ones(4, bool)
+    got = np.asarray(fl.points_inside_quadric_mask(jnp.asarray(pts),
+                                                   jnp.asarray(m), e))
+    assert list(got) == [True, True, False, False]
+
+
+def test_depth_border():
+    depth = np.full((40, 40), 5000, np.uint16)
+    depth[10:30, 10:30] = 2500  # closer block -> border ring
+    b = np.asarray(fl.depth_border_mask(jnp.asarray(depth.astype(np.int32)),
+                                        5000.0))
+    assert b[10, 15] and b[29, 15]
+    assert not b[20, 20]
+    assert not b[5, 5]
+
+
+def test_dense_builder_and_ply(tmp_path):
+    b = DenseBuilder(CAM, leaf=0.05, stride=8, capacity=4096)
+    depth = np.full((480, 640), int(2.0 * CAM.scale), np.uint16)
+    rgb = np.full((480, 640, 3), 128, np.uint8)
+    pose = np.array([0, 0, 0, 0, 0, 0, 1], np.float64)
+    b.process_frame(rgb, depth, pose)
+    pts, colors = b.get_map()
+    assert len(pts) > 100
+    assert abs(np.median(pts[:, 2]) - 2.0) < 0.1
+    p = str(tmp_path / "map.ply")
+    b.save_ply(p)
+    with open(p) as f:
+        head = f.readline()
+    assert head.strip() == "ply"
+    # fusing the same frame again should not grow the map (same voxels)
+    n1 = len(pts)
+    b.process_frame(rgb, depth, pose)
+    assert abs(len(b.get_map()[0]) - n1) < n1 * 0.05
+
+
+def test_ate_rmse():
+    gt = RNG.normal(0, 1, (50, 3))
+    est = gt + 0.01
+    # unaligned: constant offset = 0.01*sqrt(3)
+    assert abs(mt.ate_rmse(est, gt, align=False) - 0.01 * np.sqrt(3)) < 1e-6
+    # aligned: ~0
+    assert mt.ate_rmse(est, gt, align=True) < 1e-9
+    # rotated+shifted trajectory aligns to ~0
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    est2 = gt @ R.T + np.array([1, 2, 3])
+    assert mt.ate_rmse(est2, gt, align=True) < 1e-9
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    st = SlamState()
+    st.frames_pose_wc = [np.arange(7.0), np.arange(7.0) + 1]
+    st.frames_ts = [1.0, 2.0]
+    st.ground_plane = np.array([0, 0, 1.0, -0.5])
+    st.ground_state = 2
+    r = ObjectRecord(instance=3, label=28, initialized=True)
+    r.vec10 = np.arange(10.0)
+    r.obs2d_pose_cw = [np.arange(7.0)]
+    r.obs2d_pose_wc = [np.arange(7.0)]
+    r.obs2d_bbox = [np.array([1.0, 2, 3, 4])]
+    r.obs2d_prob = [0.9]
+    r.obs2d_frame = [0]
+    st.objects[3] = r
+    p = str(tmp_path / "ck.npz")
+    ckpt.save_state(st, p)
+    st2 = ckpt.load_state(p)
+    assert st2.ground_state == 2
+    assert np.allclose(st2.ground_plane, st.ground_plane)
+    assert 3 in st2.objects
+    r2 = st2.objects[3]
+    assert r2.label == 28 and r2.initialized
+    assert np.allclose(r2.vec10, r.vec10)
+    assert np.allclose(r2.obs2d_bbox[0], [1, 2, 3, 4])
+    assert r2.obs2d_prob == [0.9]
+
+
+def test_viz_draw_frame(tmp_path):
+    from object_oriented_slam_tpu.viz.export import draw_frame, draw_depth_frame
+    rgb = np.zeros((480, 640, 3), np.uint8)
+    det = np.array([[0, 100, 100, 200, 200, 28, 0.9, 0]])
+    objs = {0: np.array([0, 0, 3, 0, 0, 0, 1, 0.5, 0.5, 0.5])}
+    pose = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    img = draw_frame(rgb, det, objs, pose, CAM.K)
+    assert img.sum() > 0
+    depth = np.full((480, 640), 10000, np.uint16)
+    d = draw_depth_frame(depth)
+    assert d.shape == (480, 640, 3)
