@@ -1,0 +1,132 @@
+"""ctypes binding for the native C++ frame loader (native/src/tum_loader.cpp).
+
+Provides threaded-prefetch frame decode for TUM sequences; falls back to
+cv2 transparently when the shared library cannot be built.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_LIB = None
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SO = os.path.join(_REPO, "native", "lib", "liboslam_native.so")
+
+
+def _load_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["sh", os.path.join(_REPO, "native", "build.sh")],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.oslam_loader_create.restype = ctypes.c_void_p
+    lib.oslam_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.oslam_loader_get.restype = ctypes.c_int
+    lib.oslam_loader_get.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.oslam_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.oslam_decode_depth.restype = ctypes.c_int
+    lib.oslam_decode_depth.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.oslam_decode_rgb.restype = ctypes.c_int
+    lib.oslam_decode_rgb.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    _LIB = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def decode_depth(path: str, max_hw=(480, 640)) -> Optional[np.ndarray]:
+    lib = _load_lib()
+    if lib is None:
+        return None
+    buf = np.zeros(max_hw, np.uint16)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.oslam_decode_depth(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        return None
+    return buf[:h.value, :w.value].copy()
+
+
+def decode_rgb(path: str, max_hw=(480, 640)) -> Optional[np.ndarray]:
+    lib = _load_lib()
+    if lib is None:
+        return None
+    buf = np.zeros((*max_hw, 3), np.uint8)
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.oslam_decode_rgb(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        return None
+    # native gives RGB; repo convention (cv2) is BGR
+    return buf[:h.value, :w.value, ::-1].copy()
+
+
+class PrefetchingLoader:
+    """Threaded-prefetch sequential frame reader."""
+
+    def __init__(self, depth_paths: List[str], rgb_paths: List[str],
+                 n_threads: int = 4, lookahead: int = 8,
+                 max_hw=(480, 640)):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        n = len(depth_paths)
+        self._dp = (ctypes.c_char_p * n)(*[p.encode() for p in depth_paths])
+        self._rp = (ctypes.c_char_p * n)(*[p.encode() for p in rgb_paths])
+        self._handle = lib.oslam_loader_create(self._dp, self._rp, n,
+                                               n_threads, lookahead)
+        self._n = n
+        self._max_hw = max_hw
+
+    def get(self, index: int):
+        """Returns (depth u16 [H,W], rgb u8 [H,W,3] BGR) or None."""
+        depth = np.zeros(self._max_hw, np.uint16)
+        rgb = np.zeros((*self._max_hw, 3), np.uint8)
+        h, w = ctypes.c_int(), ctypes.c_int()
+        rc = self._lib.oslam_loader_get(
+            self._handle, index,
+            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(h), ctypes.byref(w))
+        if rc != 0:
+            return None
+        return (depth[:h.value, :w.value].copy(),
+                rgb[:h.value, :w.value, ::-1].copy())
+
+    def close(self):
+        if self._handle:
+            self._lib.oslam_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -72,9 +72,15 @@ def _read_rows(path: str) -> List[List[str]]:
 
 
 class TUMDataset:
-    """Sequential access to a TUM RGB-D sequence with detections."""
+    """Sequential access to a TUM RGB-D sequence with detections.
 
-    def __init__(self, dataset_dir: str, detection_dir: Optional[str] = None):
+    With ``use_native=True`` (default) image decode goes through the C++
+    threaded-prefetch loader (native/src/tum_loader.cpp) so IO overlaps the
+    device compute of the previous frame; falls back to cv2 otherwise.
+    """
+
+    def __init__(self, dataset_dir: str, detection_dir: Optional[str] = None,
+                 use_native: bool = True):
         self.dir = dataset_dir.rstrip("/") + "/"
         self.rgb_dir = self.dir + "rgb/"
         self.depth_dir = self.dir + "depth/"
@@ -103,6 +109,23 @@ class TUMDataset:
 
         self.current = 0
         self.odometry: Optional[Dict[str, np.ndarray]] = None
+
+        self._native = None
+        if use_native:
+            try:
+                from . import native_loader as nl
+                if nl.native_available():
+                    dps, rps = [], []
+                    for i in range(self.total):
+                        dp = self._assoc(self.rgb_to_depth,
+                                         self.rgb_stamps[i])
+                        dps.append(os.path.join(self.dir, dp[1])
+                                   if dp else "")
+                        rps.append(os.path.join(self.rgb_dir,
+                                                self.rgb_files[i]))
+                    self._native = nl.PrefetchingLoader(dps, rps)
+            except Exception:
+                self._native = None
 
     # -- association at 1 ms tolerance (io.cpp:97-123) -------------------
     @staticmethod
@@ -133,6 +156,11 @@ class TUMDataset:
         dp = self._assoc(self.rgb_to_depth, rgb_ts)
         if dp is None:
             return None
+        if self._native is not None:
+            out = self._native.get(index)
+            if out is not None:
+                depth, rgb = out
+                return float(rgb_ts), pose.astype(np.float64), depth, rgb
         depth_path = os.path.join(self.dir, dp[1])
         rgb_path = os.path.join(self.rgb_dir, self.rgb_files[index])
         if cv2 is None:
