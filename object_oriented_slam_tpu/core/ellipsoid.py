@@ -156,11 +156,11 @@ def _conic_cstar(e: jnp.ndarray, pose_cw: jnp.ndarray,
     """
     R = se3.quat_to_mat(e[3:7])
     R_cw = se3.quat_to_mat(pose_cw[3:])
-    A = K @ R_cw
-    W = A @ R
+    A = se3._mm3(K, R_cw)
+    W = se3._mm3(A, R)
     WS = W * e[7:10][None, :]
-    v = A @ e[:3] + K @ pose_cw[:3]
-    return WS @ WS.T - jnp.outer(v, v)
+    v = se3._mv(A, e[:3]) + se3._mv(K, pose_cw[:3])
+    return se3._mm3(WS, jnp.swapaxes(WS, -1, -2)) - v[:, None] * v[None, :]
 
 
 def project_ellipse(e: jnp.ndarray, pose_cw: jnp.ndarray,
@@ -213,6 +213,28 @@ def project_bbox(e: jnp.ndarray, pose_cw: jnp.ndarray,
                  K: jnp.ndarray) -> jnp.ndarray:
     """Projected bounding box via the conic (Ellipsoid.cpp:303-307)."""
     return ellipse_to_bbox(project_ellipse(e, pose_cw, K))
+
+
+def project_bbox_dual(e: jnp.ndarray, pose_cw: jnp.ndarray,
+                      K: jnp.ndarray) -> jnp.ndarray:
+    """Projected bbox straight from the dual conic (no ellipse-angle step).
+
+    The tangent vertical/horizontal lines l of the ellipse satisfy
+    l^T C* l = 0, giving closed-form extrema
+    x = (C*02 +- sqrt(C*02^2 - C*00 C*22)) / C*22 (and likewise for y) --
+    exactly the same bbox as the reference's ellipse-parameter route for
+    valid ellipses, but transcendental-free (atan2 has no Mosaic lowering,
+    so the pallas BA kernels use this path).
+    """
+    C = _conic_cstar(e, pose_cw, K)
+    dx = jnp.sqrt(jnp.maximum(C[0, 2] * C[0, 2] - C[0, 0] * C[2, 2], 0.0))
+    dy = jnp.sqrt(jnp.maximum(C[1, 2] * C[1, 2] - C[1, 1] * C[2, 2], 0.0))
+    xa = (C[0, 2] - dx) / C[2, 2]
+    xb = (C[0, 2] + dx) / C[2, 2]
+    ya = (C[1, 2] - dy) / C[2, 2]
+    yb = (C[1, 2] + dy) / C[2, 2]
+    return jnp.stack([jnp.minimum(xa, xb), jnp.minimum(ya, yb),
+                      jnp.maximum(xa, xb), jnp.maximum(ya, yb)])
 
 
 _CUBE_CORNERS = jnp.array([

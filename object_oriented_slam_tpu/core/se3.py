@@ -24,6 +24,36 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _mv(M, v):
+    """3x3 @ 3 matvec as elementwise ops (1-D dot_general does not lower
+    inside Mosaic/pallas kernels)."""
+    return jnp.sum(M * v[None, :], axis=1)
+
+
+# --- atan2 indirection: Mosaic has no atan2 primitive, so pallas kernels
+# --- swap in a float32-accurate polynomial (ops/pallas/compat.py) at trace
+# --- time via this hook; everything else uses the exact jnp.arctan2.
+_ATAN2 = [jnp.arctan2]
+
+
+def atan2(y, x):
+    return _ATAN2[0](y, x)
+
+
+def _mm3(A, B):
+    """3x3 matmul as unrolled elementwise ops (batched tpu.matmul of tiny
+    operands has no Mosaic lowering)."""
+    rows = []
+    for i in range(3):
+        cols = []
+        for j in range(3):
+            cols.append(A[..., i, 0] * B[..., 0, j]
+                        + A[..., i, 1] * B[..., 1, j]
+                        + A[..., i, 2] * B[..., 2, j])
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 # ---------------------------------------------------------------------------
 # Quaternion primitives
 # ---------------------------------------------------------------------------
@@ -118,7 +148,7 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
 
 def so3_exp_quat(omega: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle (3,) -> quaternion [x,y,z,w], small-angle safe."""
-    theta2 = jnp.dot(omega, omega)
+    theta2 = jnp.sum(omega * omega)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     half = 0.5 * theta
     # sin(half)/theta with Taylor fallback
@@ -135,7 +165,7 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     qv = qv * sgn
     w = w * sgn
     n = jnp.linalg.norm(qv)
-    theta = 2.0 * jnp.arctan2(n, w)
+    theta = 2.0 * atan2(n, w)
     k = jnp.where(n > 1e-7, theta / jnp.maximum(n, _EPS), 2.0 / jnp.maximum(w, _EPS))
     return qv * k
 
@@ -182,10 +212,10 @@ def mat_to_se3(m: jnp.ndarray) -> jnp.ndarray:
 
 def _so3_left_jacobian(omega: jnp.ndarray) -> jnp.ndarray:
     """V matrix of SE(3) exp: t = V @ upsilon (se3quat.h:249-287)."""
-    theta2 = jnp.dot(omega, omega)
+    theta2 = jnp.sum(omega * omega)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     Om = skew(omega)
-    Om2 = Om @ Om
+    Om2 = _mm3(Om, Om)
     a = jnp.where(theta2 > 1e-10, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS),
                   0.5 - theta2 / 24.0)
     b = jnp.where(theta2 > 1e-10,
@@ -200,7 +230,7 @@ def se3_exp(u: jnp.ndarray) -> jnp.ndarray:
     upsilon = u[3:6]
     q = so3_exp_quat(omega)
     V = _so3_left_jacobian(omega)
-    return jnp.concatenate([V @ upsilon, q])
+    return jnp.concatenate([_mv(V, upsilon), q])
 
 
 def _so3_left_jacobian_inv(omega: jnp.ndarray) -> jnp.ndarray:
@@ -210,10 +240,10 @@ def _so3_left_jacobian_inv(omega: jnp.ndarray) -> jnp.ndarray:
     Avoids the LU solve of jnp.linalg.solve, which serializes on TPU when
     vmapped over every 3D edge of the BA graph.
     """
-    theta2 = jnp.dot(omega, omega)
+    theta2 = jnp.sum(omega * omega)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     Om = skew(omega)
-    Om2 = Om @ Om
+    Om2 = _mm3(Om, Om)
     half = 0.5 * theta
     cot_term = half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS)
     c = jnp.where(theta2 > 1e-10,
@@ -225,7 +255,7 @@ def _so3_left_jacobian_inv(omega: jnp.ndarray) -> jnp.ndarray:
 def se3_log(a: jnp.ndarray) -> jnp.ndarray:
     """pose7 -> tangent (6,) [omega, upsilon], inverse of se3_exp."""
     omega = so3_log(a[3:])
-    upsilon = _so3_left_jacobian_inv(omega) @ a[:3]
+    upsilon = _mv(_so3_left_jacobian_inv(omega), a[:3])
     return jnp.concatenate([omega, upsilon])
 
 
