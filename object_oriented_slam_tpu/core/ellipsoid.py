@@ -80,10 +80,12 @@ def rotate_yaw(e: jnp.ndarray, k: int) -> jnp.ndarray:
     For k = +-1 (i.e. +-90 deg) the x/y half-axes are swapped so the rotated
     ellipsoid represents the identical shape.
     """
-    yaw = k * jnp.pi / 2.0
-    rot = jnp.concatenate([jnp.zeros(3, dtype=e.dtype),
-                           jnp.array([0.0, 0.0, jnp.sin(yaw * 0.5), jnp.cos(yaw * 0.5)],
-                                     dtype=e.dtype)])
+    import math
+    yaw = k * math.pi / 2.0
+    s_h = math.sin(yaw * 0.5)
+    c_h = math.cos(yaw * 0.5)
+    z = e[0] * 0.0  # traced zero: avoids a captured const array in pallas
+    rot = jnp.stack([z, z, z, z, z, z + s_h, z + c_h])
     new_pose = se3.se3_mul(pose_of(e), rot)
     s = scale_of(e)
     if k % 2 != 0:

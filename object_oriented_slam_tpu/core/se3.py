@@ -79,7 +79,9 @@ def quat_mul(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_conj(q: jnp.ndarray) -> jnp.ndarray:
-    return q * jnp.array([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
+    # stack of traced scalars (a literal const array would be captured as a
+    # closure constant inside pallas kernels, which is rejected)
+    return jnp.stack([-q[0], -q[1], -q[2], q[3]])
 
 
 def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

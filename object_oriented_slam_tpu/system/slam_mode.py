@@ -1,0 +1,131 @@
+"""SLAM-mode integration: build the joint pose+object graph from SlamState.
+
+The reference's SLAM mode (``bSLAM_mode``, Optimizer.cpp:126,142-158) frees
+the camera vertices and chains them with odometry edges computed from the
+input poses.  Here the graph is assembled from the tracker's fixed-capacity
+state and solved by the Schur-complement backend (backend/slam_ba.py);
+odometry measurements are the relative transforms of the *input* trajectory
+(which may be noisy odometry rather than ground truth, io/tum.py
+set_odometry), and the optimization refines both trajectory and objects.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend.lm import LMConfig
+from ..backend import slam_ba
+from .state import SlamState
+from .tracking import _np_se3_inv, _np_se3_mul
+
+
+def build_slam_graph(state: SlamState, lm_cfg: LMConfig,
+                     max_frames: int = 128, max_objects: int = 16,
+                     max_e2: int = 1024, max_e3: int = 512,
+                     gravity_on: bool = True) -> Tuple[slam_ba.SlamGraph, list]:
+    """Pack the recorded observations into a fixed-capacity SlamGraph.
+
+    Returns (graph, instance order). Frames beyond max_frames use the most
+    recent window.
+    """
+    F_all = len(state.frames_pose_wc)
+    start = max(0, F_all - max_frames)
+    F = min(F_all, max_frames)
+    frame_of = {start + i: i for i in range(F)}
+
+    poses_cw = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
+                       (max_frames, 1))
+    frame_mask = np.zeros(max_frames, bool)
+    for gi, li in frame_of.items():
+        poses_cw[li] = _np_se3_inv(state.frames_pose_wc[gi]).astype(np.float32)
+        frame_mask[li] = True
+
+    instances = sorted(state.initialized_instances())[:max_objects]
+    objects = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32),
+                      (max_objects, 1))
+    obj_mask = np.zeros(max_objects, bool)
+    grav_w = np.zeros(max_objects, np.float32)
+    gset = state.ground_plane is not None and gravity_on
+    for k, inst in enumerate(instances):
+        objects[k] = state.objects[inst].vec10.astype(np.float32)
+        obj_mask[k] = True
+        if gset:
+            grav_w[k] = lm_cfg.gravity_scale
+
+    e2_f = np.zeros(max_e2, np.int32)
+    e2_o = np.zeros(max_e2, np.int32)
+    e2_b = np.full((max_e2, 4), -1.0, np.float32)
+    e2_w = np.zeros(max_e2, np.float32)
+    n2 = 0
+    e3_f = np.zeros(max_e3, np.int32)
+    e3_o = np.zeros(max_e3, np.int32)
+    e3_m = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32),
+                   (max_e3, 1))
+    e3_w = np.zeros(max_e3, np.float32)
+    n3 = 0
+    for k, inst in enumerate(instances):
+        rec = state.objects[inst]
+        if len(rec.obs2d_bbox) > 2:  # >2-obs gate (Optimizer.cpp:201)
+            for fb, bb, pr in zip(rec.obs2d_frame, rec.obs2d_bbox,
+                                  rec.obs2d_prob):
+                if fb in frame_of and n2 < max_e2:
+                    e2_f[n2] = frame_of[fb]
+                    e2_o[n2] = k
+                    e2_b[n2] = bb
+                    e2_w[n2] = np.sqrt(max(pr, 0.0))
+                    n2 += 1
+        for fb, mm, pr in zip(rec.obs3d_frame, rec.obs3d_meas,
+                              rec.obs3d_prob):
+            if fb in frame_of and n3 < max_e3:
+                e3_f[n3] = frame_of[fb]
+                e3_o[n3] = k
+                e3_m[n3] = mm.astype(np.float32)
+                e3_w[n3] = np.sqrt(max(pr, 0.0) * lm_cfg.scale_3d)
+                n3 += 1
+
+    # odometry chain from the input trajectory (Optimizer.cpp:142-158)
+    n_odo = max(F - 1, 1)
+    max_odo = max_frames - 1
+    odo_i = np.zeros(max_odo, np.int32)
+    odo_j = np.zeros(max_odo, np.int32)
+    odo_m = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
+                    (max_odo, 1))
+    odo_w = np.zeros(max_odo, np.float32)
+    for i in range(F - 1):
+        odo_i[i] = i
+        odo_j[i] = i + 1
+        odo_m[i] = _np_se3_mul(
+            poses_cw[i + 1], _np_se3_inv(poses_cw[i])).astype(np.float32)
+        odo_w[i] = 1.0
+
+    g = slam_ba.SlamGraph(
+        poses_cw=jnp.asarray(poses_cw), frame_mask=jnp.asarray(frame_mask),
+        objects=jnp.asarray(objects), obj_mask=jnp.asarray(obj_mask),
+        e2_frame=jnp.asarray(e2_f), e2_obj=jnp.asarray(e2_o),
+        e2_bbox=jnp.asarray(e2_b), e2_w=jnp.asarray(e2_w),
+        e3_frame=jnp.asarray(e3_f), e3_obj=jnp.asarray(e3_o),
+        e3_meas=jnp.asarray(e3_m), e3_w=jnp.asarray(e3_w),
+        odo_i=jnp.asarray(odo_i), odo_j=jnp.asarray(odo_j),
+        odo_meas=jnp.asarray(odo_m), odo_w=jnp.asarray(odo_w),
+        grav_w=jnp.asarray(grav_w),
+    )
+    return g, instances
+
+
+def run_slam_mode(state: SlamState, K: np.ndarray, lm_cfg: LMConfig,
+                  **kwargs):
+    """Joint optimization over the recorded run; returns
+    (poses_wc [F,7] refined, {instance: vec10}, chi2)."""
+    g, instances = build_slam_graph(state, lm_cfg, **kwargs)
+    normal = (state.ground_plane[:3].astype(np.float32)
+              if state.ground_plane is not None else np.zeros(3, np.float32))
+    poses_cw, objects, chi2 = slam_ba.optimize_slam(
+        g, jnp.asarray(K.astype(np.float32)), jnp.asarray(normal), lm_cfg)
+    poses_cw = np.asarray(poses_cw, np.float64)
+    F = int(np.asarray(g.frame_mask).sum())
+    poses_wc = np.stack([_np_se3_inv(p) for p in poses_cw[:F]])
+    obj_map = {inst: np.asarray(objects[k], np.float64)
+               for k, inst in enumerate(instances)}
+    return poses_wc, obj_map, float(chi2)
