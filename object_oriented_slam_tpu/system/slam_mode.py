@@ -24,11 +24,20 @@ from .tracking import _np_se3_inv, _np_se3_mul
 def build_slam_graph(state: SlamState, lm_cfg: LMConfig,
                      max_frames: int = 128, max_objects: int = 16,
                      max_e2: int = 1024, max_e3: int = 512,
-                     gravity_on: bool = True) -> Tuple[slam_ba.SlamGraph, list]:
+                     gravity_on: bool = True,
+                     odometry_wc: Optional[np.ndarray] = None,
+                     odo_weight: float = 1.0
+                     ) -> Tuple[slam_ba.SlamGraph, list]:
     """Pack the recorded observations into a fixed-capacity SlamGraph.
 
     Returns (graph, instance order). Frames beyond max_frames use the most
-    recent window.
+    recent window.  ``odometry_wc`` optionally provides a separate
+    trajectory whose *relative* motions become the odometry measurements
+    (e.g. wheel odometry, io/tum.py set_odometry); default is the input
+    trajectory itself.  ``odo_weight`` is the odometry sqrt-information
+    (the reference uses identity information, Optimizer.cpp:153-156, which
+    lets pixel-scale projection residuals dominate; raise it to reflect an
+    actually-accurate odometry source).
     """
     F_all = len(state.frames_pose_wc)
     start = max(0, F_all - max_frames)
@@ -93,12 +102,17 @@ def build_slam_graph(state: SlamState, lm_cfg: LMConfig,
     odo_m = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
                     (max_odo, 1))
     odo_w = np.zeros(max_odo, np.float32)
+    if odometry_wc is not None:
+        ocw = [_np_se3_inv(np.asarray(odometry_wc[start + i], np.float64))
+               for i in range(F)]
+    else:
+        ocw = [poses_cw[i].astype(np.float64) for i in range(F)]
     for i in range(F - 1):
         odo_i[i] = i
         odo_j[i] = i + 1
-        odo_m[i] = _np_se3_mul(
-            poses_cw[i + 1], _np_se3_inv(poses_cw[i])).astype(np.float32)
-        odo_w[i] = 1.0
+        odo_m[i] = _np_se3_mul(ocw[i + 1],
+                               _np_se3_inv(ocw[i])).astype(np.float32)
+        odo_w[i] = odo_weight
 
     g = slam_ba.SlamGraph(
         poses_cw=jnp.asarray(poses_cw), frame_mask=jnp.asarray(frame_mask),
