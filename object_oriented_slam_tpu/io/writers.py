@@ -49,3 +49,38 @@ def save_object_list(path: str, instances: List[int], vec9s: np.ndarray,
         for inst, v, lab in zip(instances, vec9s, labels):
             row = " ".join(f"{x:.10g}" for x in v)
             f.write(f"{inst}\t{row}\t{lab}\n")
+
+
+def save_bbox_with_association(dir_path: str, state) -> None:
+    """Per-timestamp bbox files with associated instance ids
+    (Tracking::outputBboxMatWithAssociation, Tracking.cpp:30-70)."""
+    import os
+    os.makedirs(dir_path, exist_ok=True)
+    by_ts = {}
+    for inst, rec in state.objects.items():
+        for fb, bbox, prob in zip(rec.obs2d_frame, rec.obs2d_bbox,
+                                  rec.obs2d_prob):
+            ts = state.frames_ts[fb]
+            by_ts.setdefault(ts, []).append(
+                (bbox, rec.label, prob, inst))
+    for ts, rows in by_ts.items():
+        path = os.path.join(dir_path, f"{ts:.6f}.txt")
+        with open(path, "w") as f:
+            for n, (bbox, label, prob, inst) in enumerate(rows):
+                bb = " ".join(f"{v:.10g}" for v in bbox)
+                f.write(f"{n} {bb} {label} {prob:.10g} {inst}\n")
+
+
+def save_observation_log(path: str, state) -> None:
+    """Debug dump of per-instance observations
+    (outputObjectObservations, Tracking.cpp:9-28)."""
+    with open(path, "w") as f:
+        f.write(" --------- ObjectObservations : \n")
+        for inst in sorted(state.objects):
+            rec = state.objects[inst]
+            f.write(f" ---- Instance {inst} ({len(rec.obs2d_bbox)}) :\n")
+            for fb, bbox, prob in zip(rec.obs2d_frame, rec.obs2d_bbox,
+                                      rec.obs2d_prob):
+                bb = " ".join(f"{v:.10g}" for v in bbox)
+                f.write(f" -- ob : {fb} | {bb} | {rec.label} | {prob}\n")
+            f.write("\n")
