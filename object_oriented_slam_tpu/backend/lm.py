@@ -94,7 +94,7 @@ def _huber_weight(r_edge: jnp.ndarray, delta: float) -> jnp.ndarray:
 def _weighted_residual(e: jnp.ndarray, obs: ObjectObservations, o_idx,
                        K: jnp.ndarray, normal: jnp.ndarray,
                        w2d: jnp.ndarray, w3d: jnp.ndarray, wg: jnp.ndarray,
-                       huber_delta: float = 0.0):
+                       pre3d=None, huber_delta: float = 0.0):
     """Stacked sqrt-info-weighted residual for a single object.
 
     The weights already fold in edge masks (zero weight = inactive edge),
@@ -102,8 +102,8 @@ def _weighted_residual(e: jnp.ndarray, obs: ObjectObservations, o_idx,
     """
     r2 = jax.vmap(lambda p, b: res.residual_proj(e, p, K, b))(
         obs.pose2d_cw[o_idx], obs.bbox2d[o_idx])            # [M2, 4]
-    r3 = jax.vmap(lambda p, m: res.residual_3d(e, p, m))(
-        obs.pose3d_wc[o_idx], obs.meas3d[o_idx])            # [M3, 9]
+    r3 = jax.vmap(res.residual_3d_pre, in_axes=(None, 0, 0))(
+        e, pre3d[0], pre3d[1])                              # [M3, 9]
     rg = res.residual_gravity(e, normal)                    # [1]
     r2 = r2 * w2d[:, None]
     r3 = r3 * w3d[:, None]
@@ -139,9 +139,14 @@ def _solve_object(e0, obs: ObjectObservations, o_idx, K, normal,
     finite2d = jnp.all(jnp.isfinite(r2_init), axis=1)
     w2d = jnp.where(finite2d, w2d, 0.0)
 
+    # hoist estimate-independent 3D-measurement work out of the LM loop
+    pre3d = jax.vmap(res.precompute_3d_measurement)(
+        obs.pose3d_wc[o_idx], obs.meas3d[o_idx])
+
     def rfun(u, e):
         return _weighted_residual(ell.exp_update(e, u), obs, o_idx, K,
-                                  normal, w2d, w3d, wg, cfg.huber_delta)
+                                  normal, w2d, w3d, wg, pre3d,
+                                  cfg.huber_delta)
 
     def chi2_of(e):
         r = rfun(jnp.zeros(9, e0.dtype), e)
@@ -149,8 +154,11 @@ def _solve_object(e0, obs: ObjectObservations, o_idx, K, normal,
 
     def step(carry, _):
         e, lam, nu, chi2 = carry
-        r = rfun(jnp.zeros(9, e0.dtype), e)
-        J = jax.jacfwd(rfun)(jnp.zeros(9, e0.dtype), e)      # [R, 9]
+        # linearize: one primal eval + cheap linear tangent maps (jacfwd
+        # would re-run the nonlinear primal alongside the tangents)
+        r, lin = jax.linearize(
+            lambda u: rfun(u, e), jnp.zeros(9, e0.dtype))
+        J = jax.vmap(lin)(jnp.eye(9, dtype=e0.dtype)).T      # [R, 9]
         H = J.T @ J
         g = J.T @ r
         lam0 = jnp.where(lam < 0, _TAU * jnp.max(jnp.diag(H)), lam)

@@ -44,6 +44,39 @@ def residual_3d(e_vec10: jnp.ndarray, pose_wc: jnp.ndarray,
     return ell.min_log_error_9dof(e_vec10, meas_world)
 
 
+def precompute_3d_measurement(pose_wc: jnp.ndarray,
+                              meas_local_vec10: jnp.ndarray):
+    """Hoist the estimate-independent part of the 3D residual.
+
+    The measured local ellipsoid transformed to world, its four yaw
+    rotations and their INVERTED poses are all constant across LM
+    iterations; precomputing them removes transform_from + rotate_yaw +
+    se3_inv from every jacobian evaluation.
+    Returns (inv_pose4 [4,7], scale4 [4,3]).
+    """
+    meas_world = ell.transform_from(meas_local_vec10, pose_wc)
+    rots = [ell.rotate_yaw(meas_world, k) for k in (-1, 0, 1, 2)]
+    inv_pose4 = jnp.stack([se3.se3_inv(r[:7]) for r in rots])
+    scale4 = jnp.stack([r[7:10] for r in rots])
+    return inv_pose4, scale4
+
+
+def residual_3d_pre(e_vec10: jnp.ndarray, inv_pose4: jnp.ndarray,
+                    scale4: jnp.ndarray) -> jnp.ndarray:
+    """residual_3d with precomputed measurement rotations (identical
+    output to residual_3d; see precompute_3d_measurement)."""
+    import jax
+
+    def err_k(invp, sc):
+        pose_diff = se3.se3_mul(invp, e_vec10[:7])
+        return jnp.concatenate([se3.se3_log(pose_diff), e_vec10[7:10] - sc])
+
+    errs = jax.vmap(err_k)(inv_pose4, scale4)
+    norms = jnp.sum(errs * errs, axis=1)
+    idx = jax.lax.stop_gradient(jnp.argmin(norms))
+    return errs[idx]
+
+
 def residual_gravity(e_vec10: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
     """Gravity-prior residual (1,) (BasicEllipsoidEdges.cpp:129-152)."""
     R = se3.quat_to_mat(e_vec10[3:7])
