@@ -33,40 +33,37 @@ from ..core import ellipsoid as ell
 AXIS = "obs"
 
 
-def _object_normal_eq(e, p2, b2, w2d, p3, m3, w3d, normal, wg, K):
-    """Local-shard normal equations for one object.
-
-    Returns (H [9,9], g [9], chi2 scalar) from this device's slice of
-    observations; weights already fold masks/probabilities/gates.
-    """
-    def rfun(u):
-        eu = ell.exp_update(e, u)
-        r2 = jax.vmap(lambda p, b: res.residual_proj(eu, p, K, b))(p2, b2)
-        r3 = jax.vmap(lambda p, m: res.residual_3d(eu, p, m))(p3, m3)
-        rg = res.residual_gravity(eu, normal)
-        r = jnp.concatenate([
-            (r2 * w2d[:, None]).reshape(-1),
-            (r3 * w3d[:, None]).reshape(-1),
-            rg * wg,
-        ])
-        return jnp.where(jnp.isfinite(r), r, 0.0)
-
-    z = jnp.zeros(9, e.dtype)
-    r = rfun(z)
-    J = jax.jacfwd(rfun)(z)
-    return J.T @ J, J.T @ r, jnp.sum(r * r)
-
-
-def _object_chi2(e, p2, b2, w2d, p3, m3, w3d, normal, wg, K):
+def _object_residual(e, p2, b2, w2d, pre3d, w3d, normal, wg, K):
     r2 = jax.vmap(lambda p, b: res.residual_proj(e, p, K, b))(p2, b2)
-    r3 = jax.vmap(lambda p, m: res.residual_3d(e, p, m))(p3, m3)
+    r3 = jax.vmap(res.residual_3d_pre, in_axes=(None, 0, 0))(
+        e, pre3d[0], pre3d[1])
     rg = res.residual_gravity(e, normal)
     r = jnp.concatenate([
         (r2 * w2d[:, None]).reshape(-1),
         (r3 * w3d[:, None]).reshape(-1),
         rg * wg,
     ])
-    r = jnp.where(jnp.isfinite(r), r, 0.0)
+    return jnp.where(jnp.isfinite(r), r, 0.0)
+
+
+def _object_normal_eq(e, p2, b2, w2d, pre3d, w3d, normal, wg, K):
+    """Local-shard normal equations for one object.
+
+    Returns (H [9,9], g [9], chi2 scalar) from this device's slice of
+    observations; weights already fold masks/probabilities/gates.
+    """
+    def rfun(u):
+        return _object_residual(ell.exp_update(e, u), p2, b2, w2d, pre3d,
+                                w3d, normal, wg, K)
+
+    z = jnp.zeros(9, e.dtype)
+    r, lin = jax.linearize(rfun, z)
+    J = jax.vmap(lin)(jnp.eye(9, dtype=e.dtype)).T
+    return J.T @ J, J.T @ r, jnp.sum(r * r)
+
+
+def _object_chi2(e, p2, b2, w2d, pre3d, w3d, normal, wg, K):
+    r = _object_residual(e, p2, b2, w2d, pre3d, w3d, normal, wg, K)
     return jnp.sum(r * r)
 
 
@@ -94,17 +91,21 @@ def _sharded_body(est0, obj_mask, p2, b2, pr2, m2, p3, me3, pr3, m3,
     finite2d = jax.vmap(nan_gate)(est0, p2, b2)
     w2d = jnp.where(finite2d, w2d, 0.0)
 
-    normal_eq = jax.vmap(lambda e, a, bb, c, d, f, g: _object_normal_eq(
-        e, a, bb, c, d, f, g, normal, wg, K))
-    chi2_fn = jax.vmap(lambda e, a, bb, c, d, f, g: _object_chi2(
-        e, a, bb, c, d, f, g, normal, wg, K))
+    # hoist estimate-independent 3D-measurement work (per shard)
+    pre3d = jax.vmap(jax.vmap(res.precompute_3d_measurement))(p3, me3)
+
+    normal_eq = jax.vmap(lambda e, a, bb, c, d0, d1, f: _object_normal_eq(
+        e, a, bb, c, (d0, d1), f, normal, wg, K))
+    chi2_fn = jax.vmap(lambda e, a, bb, c, d0, d1, f: _object_chi2(
+        e, a, bb, c, (d0, d1), f, normal, wg, K))
 
     def global_chi2(est):
-        return jax.lax.psum(chi2_fn(est, p2, b2, w2d, p3, me3, w3d), AXIS)
+        return jax.lax.psum(
+            chi2_fn(est, p2, b2, w2d, pre3d[0], pre3d[1], w3d), AXIS)
 
     def step(carry, _):
         est, lam, nu, chi2 = carry
-        H_l, g_l, _ = normal_eq(est, p2, b2, w2d, p3, me3, w3d)
+        H_l, g_l, _ = normal_eq(est, p2, b2, w2d, pre3d[0], pre3d[1], w3d)
         H = jax.lax.psum(H_l, AXIS)                      # [O, 9, 9]
         g = jax.lax.psum(g_l, AXIS)                      # [O, 9]
 
