@@ -65,6 +65,13 @@ def exp_update(e: jnp.ndarray, u9: jnp.ndarray) -> jnp.ndarray:
     return make(new_pose, scale_of(e) + u9[6:9])
 
 
+def exp_update_xyzabc(e: jnp.ndarray, u6: jnp.ndarray) -> jnp.ndarray:
+    """6-DoF update variant: translation-only SE3 exp + additive scale
+    (VertexEllipsoidXYZABC, Ellipsoid.cpp:50-61)."""
+    u9 = jnp.concatenate([jnp.zeros(3, dtype=u6.dtype), u6[:3], u6[3:6]])
+    return exp_update(e, u9)
+
+
 def log_error_9dof(e: jnp.ndarray, other: jnp.ndarray) -> jnp.ndarray:
     """9-DoF log error between two ellipsoids (Ellipsoid.cpp:63-71).
 
@@ -265,6 +272,16 @@ def project_cube_bbox(e: jnp.ndarray, pose_cw: jnp.ndarray,
     mins = jnp.min(uv, axis=1)
     maxs = jnp.max(uv, axis=1)
     return jnp.concatenate([mins, maxs])
+
+
+def project_cube_bbox_cwh(e: jnp.ndarray, pose_cw: jnp.ndarray,
+                          K: jnp.ndarray) -> jnp.ndarray:
+    """Projected cube bbox as [center_x, center_y, width, height]
+    (projectOntoImageBbox, Ellipsoid.cpp:500-506)."""
+    r = project_cube_bbox(e, pose_cw, K)
+    center = (r[2:] + r[:2]) / 2.0
+    wh = r[2:] - r[:2]
+    return jnp.concatenate([center, wh])
 
 
 def is_observable(e: jnp.ndarray, pose_cw: jnp.ndarray) -> jnp.ndarray:

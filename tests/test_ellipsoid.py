@@ -134,3 +134,26 @@ def test_observability():
     assert bool(ell.is_observable(e, se3.se3_identity()))
     e_behind = e.at[2].set(-5.0)
     assert not bool(ell.is_observable(e_behind, se3.se3_identity()))
+
+
+def test_exp_update_xyzabc():
+    e, _ = rand_ellipsoid()
+    u6 = jnp.asarray(np.array([0.1, -0.2, 0.3, 0.01, 0.02, 0.03], np.float32))
+    out = ell.exp_update_xyzabc(e, u6)
+    # rotation unchanged, translation moved in the body frame, scale added
+    assert np.allclose(np.asarray(out[3:7]), np.asarray(e[3:7]), atol=1e-6)
+    assert np.allclose(np.asarray(out[7:]), np.asarray(e[7:]) + [0.01, 0.02, 0.03],
+                       atol=1e-6)
+    R = se3.quat_to_mat(e[3:7])
+    want_t = np.asarray(e[:3]) + np.asarray(R) @ np.array([0.1, -0.2, 0.3])
+    assert np.allclose(np.asarray(out[:3]), want_t, atol=1e-5)
+
+
+def test_project_cube_bbox_cwh():
+    e, _ = rand_ellipsoid()
+    e = e.at[2].add(6.0)
+    K = _simple_cam()
+    r = np.asarray(ell.project_cube_bbox(e, se3.se3_identity(), K))
+    c = np.asarray(ell.project_cube_bbox_cwh(e, se3.se3_identity(), K))
+    assert np.allclose(c[:2], (r[:2] + r[2:]) / 2, atol=1e-4)
+    assert np.allclose(c[2:], r[2:] - r[:2], atol=1e-4)
