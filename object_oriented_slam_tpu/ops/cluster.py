@@ -53,29 +53,39 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
                          outer_iters: int = 8, jump_iters: int = 12):
     """Labels [N]: each point's component id = min point index in component.
 
-    Masked-out points get label N (out of range).
+    Masked-out points get label N (out of range).  Min-label propagation +
+    pointer jumping runs inside a while_loop with a convergence check:
+    typical object clouds settle in 1-2 rounds, while ``outer_iters``
+    bounds pathological chain topologies.
     """
     N = pts.shape[0]
     tol2 = jnp.float32(tol * tol)
     idx = jnp.arange(N, dtype=jnp.int32)
-    labels = jnp.where(mask, idx, jnp.int32(N))
+    labels0 = jnp.where(mask, idx, jnp.int32(N))
 
-    def outer(labels, _):
+    def round_fn(labels):
         labels = _min_label_pass(pts, mask, labels, tol2)
 
-        # pointer jumping: labels <- labels[labels] (log-depth collapse)
         def jump(lab, _):
             safe = jnp.clip(lab, 0, N - 1)
-            nxt = jnp.where(lab < N, lab_at(labels_ref=lab, safe=safe), lab)
+            nxt = jnp.where(lab < N, lab[safe], lab)
             return nxt, None
 
-        def lab_at(labels_ref, safe):
-            return labels_ref[safe]
-
         labels, _ = jax.lax.scan(jump, labels, None, length=jump_iters)
-        return labels, None
+        return labels
 
-    labels, _ = jax.lax.scan(outer, labels, None, length=outer_iters)
+    def cond(state):
+        labels, prev_changed, it = state
+        return prev_changed & (it < outer_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = round_fn(labels)
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (round_fn(labels0), jnp.bool_(True), jnp.int32(1)))
     return labels
 
 
