@@ -102,6 +102,8 @@ def main():
             img = draw_frame(rgb, det, slam.map_objects, pose, cam.K)
             cv2.imwrite(os.path.join(args.out, f"frame_{i:04d}.png"), img)
         n += 1
+        if n % 10 == 0:
+            print(f"frame {n} ({time.time() - t0:.1f}s)", flush=True)
         if args.max_frames and n >= args.max_frames:
             break
     dt = time.time() - t0

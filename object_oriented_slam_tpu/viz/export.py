@@ -103,9 +103,12 @@ def render_map(map_objects: Dict[int, np.ndarray],
     for inst, v in (map_objects or {}).items():
         pts, (nv, nu) = _ellipsoid_wireframe(v)
         grid = pts.reshape(nv, nu, 3)
-        for i in range(nv):
+        for i in range(nv):  # latitude rings
             ax.plot(grid[i, :, 0], grid[i, :, 1], grid[i, :, 2], "r-",
                     lw=0.6)
+        for j in range(0, nu, 2):  # longitude arcs
+            ax.plot(grid[:, j, 0], grid[:, j, 1], grid[:, j, 2], "r-",
+                    lw=0.4, alpha=0.8)
         ax.text(v[0], v[1], v[2], f"#{inst}", color="red")
     if ground_plane is not None:
         n = ground_plane[:3] / np.linalg.norm(ground_plane[:3])
