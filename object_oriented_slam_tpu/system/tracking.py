@@ -113,6 +113,7 @@ class Tracking:
             "Tracking.KeyFrameCheck.Close") == 1
 
         self._opt_fn = jax.jit(optimize_objects, static_argnames=("cfg",))
+        self._init_np_buffers()
         self._init_fn = jax.jit(
             lambda p, b, m, K: init_quadric_svd(p, b, m, K,
                                                 self.rows, self.cols))
@@ -214,6 +215,8 @@ class Tracking:
                 rec.obs3d_frame.append(frame_id)
                 if rec.label < 0:
                     rec.label = int(det_mat[i, 5])
+                self._append_obs3d(inst, pose_wc, local_vec10[i],
+                                   float(local_prob[i]))
             # 2D observation
             meas = det_mat[i, 1:5].copy()
             meas_cal, is_border = calibrate_measurement_np(
@@ -229,6 +232,8 @@ class Tracking:
             rec.obs2d_frame.append(frame_id)
             if rec.label < 0:
                 rec.label = int(det_mat[i, 5])
+            self._append_obs2d(inst, pose_cw, meas_cal,
+                               float(det_mat[i, 6]))
 
         t1 = time.perf_counter()
 
@@ -306,48 +311,82 @@ class Tracking:
                 rec.init_by_3d = True
 
     # ------------------------------------------------------------------
-    def _build_backend_batch(self) -> ObjectObservations:
+    # Incremental backend buffers: observations are written in place into
+    # preallocated [O, M, ...] arrays as they arrive (ring window once a
+    # slot's capacity is exceeded -- identical to the "most recent M"
+    # window of a rebuilt batch since edge order is irrelevant to the LM).
+    def _init_np_buffers(self):
         O, M2, M3 = self.MAX_OBJECTS, self.MAX_OBS2D, self.MAX_OBS3D
-        est0 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32),
-                       (O, 1))
-        obj_mask = np.zeros(O, bool)
-        p2 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (O, M2, 1))
-        b2 = np.full((O, M2, 4), -1.0, np.float32)
-        pr2 = np.zeros((O, M2), np.float32)
-        m2 = np.zeros((O, M2), bool)
-        p3 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32), (O, M3, 1))
-        me3 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32),
-                      (O, M3, 1))
-        pr3 = np.zeros((O, M3), np.float32)
-        m3 = np.zeros((O, M3), bool)
-
+        self._slot_of: Dict[int, int] = {}
         self._slot_to_instance = []
-        for slot, inst in enumerate(sorted(self.state.initialized_instances())):
-            if slot >= O:
-                break
-            rec = self.state.objects[inst]
-            self._slot_to_instance.append(inst)
-            est0[slot] = rec.vec10.astype(np.float32)
-            obj_mask[slot] = True
-            n2 = min(len(rec.obs2d_bbox), M2)
-            if n2:
-                p2[slot, :n2] = np.stack(rec.obs2d_pose_cw[-n2:]).astype(np.float32)
-                b2[slot, :n2] = np.stack(rec.obs2d_bbox[-n2:]).astype(np.float32)
-                pr2[slot, :n2] = np.asarray(rec.obs2d_prob[-n2:], np.float32)
-                m2[slot, :n2] = True
-            n3 = min(len(rec.obs3d_meas), M3)
-            if n3:
-                p3[slot, :n3] = np.stack(rec.obs3d_pose_wc[-n3:]).astype(np.float32)
-                me3[slot, :n3] = np.stack(rec.obs3d_meas[-n3:]).astype(np.float32)
-                pr3[slot, :n3] = np.asarray(rec.obs3d_prob[-n3:], np.float32)
-                m3[slot, :n3] = True
+        self._b_est0 = np.tile(
+            np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32), (O, 1))
+        self._b_objmask = np.zeros(O, bool)
+        self._b_p2 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
+                             (O, M2, 1))
+        self._b_b2 = np.full((O, M2, 4), -1.0, np.float32)
+        self._b_pr2 = np.zeros((O, M2), np.float32)
+        self._b_m2 = np.zeros((O, M2), bool)
+        self._b_n2 = np.zeros(O, np.int64)
+        self._b_p3 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
+                             (O, M3, 1))
+        self._b_me3 = np.tile(
+            np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32), (O, M3, 1))
+        self._b_pr3 = np.zeros((O, M3), np.float32)
+        self._b_m3 = np.zeros((O, M3), bool)
+        self._b_n3 = np.zeros(O, np.int64)
+
+    def _slot_for(self, inst: int):
+        slot = self._slot_of.get(inst)
+        if slot is None:
+            if len(self._slot_of) >= self.MAX_OBJECTS:
+                return None
+            slot = len(self._slot_of)
+            self._slot_of[inst] = slot
+        return slot
+
+    def _append_obs2d(self, inst, pose_cw, bbox, prob):
+        slot = self._slot_for(inst)
+        if slot is None:
+            return
+        i = int(self._b_n2[slot] % self.MAX_OBS2D)
+        self._b_p2[slot, i] = pose_cw
+        self._b_b2[slot, i] = bbox
+        self._b_pr2[slot, i] = prob
+        self._b_m2[slot, i] = True
+        self._b_n2[slot] += 1
+
+    def _append_obs3d(self, inst, pose_wc, meas_vec10, prob):
+        slot = self._slot_for(inst)
+        if slot is None:
+            return
+        i = int(self._b_n3[slot] % self.MAX_OBS3D)
+        self._b_p3[slot, i] = pose_wc
+        self._b_me3[slot, i] = meas_vec10
+        self._b_pr3[slot, i] = prob
+        self._b_m3[slot, i] = True
+        self._b_n3[slot] += 1
+
+    def _build_backend_batch(self) -> ObjectObservations:
+        self._slot_to_instance = []
+        self._b_objmask[:] = False
+        for inst in sorted(self.state.initialized_instances()):
+            slot = self._slot_of.get(inst)
+            if slot is None:
+                continue
+            self._b_est0[slot] = self.state.objects[inst].vec10.astype(
+                np.float32)
+            self._b_objmask[slot] = True
+            self._slot_to_instance.append((slot, inst))
 
         return ObjectObservations(
-            est0=jnp.asarray(est0), obj_mask=jnp.asarray(obj_mask),
-            pose2d_cw=jnp.asarray(p2), bbox2d=jnp.asarray(b2),
-            prob2d=jnp.asarray(pr2), mask2d=jnp.asarray(m2),
-            pose3d_wc=jnp.asarray(p3), meas3d=jnp.asarray(me3),
-            prob3d=jnp.asarray(pr3), mask3d=jnp.asarray(m3))
+            est0=jnp.asarray(self._b_est0),
+            obj_mask=jnp.asarray(self._b_objmask),
+            pose2d_cw=jnp.asarray(self._b_p2), bbox2d=jnp.asarray(self._b_b2),
+            prob2d=jnp.asarray(self._b_pr2), mask2d=jnp.asarray(self._b_m2),
+            pose3d_wc=jnp.asarray(self._b_p3),
+            meas3d=jnp.asarray(self._b_me3),
+            prob3d=jnp.asarray(self._b_pr3), mask3d=jnp.asarray(self._b_m3))
 
     def _run_backend(self):
         obs = self._build_backend_batch()
@@ -357,7 +396,7 @@ class Tracking:
         est, chi2 = self._opt_fn(obs, jnp.asarray(self.K.astype(np.float32)),
                                  jnp.asarray(normal), gset, self.lm_cfg)
         est = np.asarray(est, np.float64)
-        for slot, inst in enumerate(self._slot_to_instance):
+        for slot, inst in self._slot_to_instance:
             self.state.objects[inst].vec10 = est[slot]
 
     # ------------------------------------------------------------------
