@@ -6,6 +6,25 @@ with ellipsoid (dual quadric) landmarks, symmetry-aided single-frame
 estimation, SVD quadric initialization, and a batched LM bundle-adjustment
 backend that shards across TPU device meshes.
 """
+import os as _os
+
+# Persistent XLA compilation cache: the axon remote-compile service costs
+# seconds-to-minutes per program, so cache executables across processes.
+# Disable with OSLAM_NO_COMPILE_CACHE=1.
+if not _os.environ.get("OSLAM_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from . import core  # noqa: F401
 
 __version__ = "0.1.0"

@@ -319,22 +319,58 @@ class Tracking:
         O, M2, M3 = self.MAX_OBJECTS, self.MAX_OBS2D, self.MAX_OBS3D
         self._slot_of: Dict[int, int] = {}
         self._slot_to_instance = []
-        self._b_est0 = np.tile(
-            np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32), (O, 1))
-        self._b_objmask = np.zeros(O, bool)
-        self._b_p2 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
-                             (O, M2, 1))
-        self._b_b2 = np.full((O, M2, 4), -1.0, np.float32)
-        self._b_pr2 = np.zeros((O, M2), np.float32)
-        self._b_m2 = np.zeros((O, M2), bool)
+        # one contiguous float32 block; the named buffers are views into it
+        # so the whole batch ships to the device as a SINGLE transfer (the
+        # tunnel pays ~5 ms fixed latency per host->device upload)
+        shapes = {
+            "est0": (O, 10), "objmask": (O,),
+            "p2": (O, M2, 7), "b2": (O, M2, 4), "pr2": (O, M2),
+            "m2": (O, M2),
+            "p3": (O, M3, 7), "me3": (O, M3, 10), "pr3": (O, M3),
+            "m3": (O, M3),
+        }
+        total = sum(int(np.prod(v)) for v in shapes.values())
+        self._b_flat = np.zeros(total, np.float32)
+        self._b_views = {}
+        self._b_layout = []
+        off = 0
+        for name, shp in shapes.items():
+            n = int(np.prod(shp))
+            self._b_views[name] = self._b_flat[off:off + n].reshape(shp)
+            self._b_layout.append((name, off, shp))
+            off += n
+        v = self._b_views
+        v["est0"][:] = np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32)
+        v["p2"][:] = np.array([0, 0, 0, 0, 0, 0, 1], np.float32)
+        v["b2"][:] = -1.0
+        v["p3"][:] = np.array([0, 0, 0, 0, 0, 0, 1], np.float32)
+        v["me3"][:] = np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32)
+        self._b_est0 = v["est0"]
+        self._b_objmask = v["objmask"]
+        self._b_p2, self._b_b2 = v["p2"], v["b2"]
+        self._b_pr2, self._b_m2 = v["pr2"], v["m2"]
+        self._b_p3, self._b_me3 = v["p3"], v["me3"]
+        self._b_pr3, self._b_m3 = v["pr3"], v["m3"]
         self._b_n2 = np.zeros(O, np.int64)
-        self._b_p3 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1], np.float32),
-                             (O, M3, 1))
-        self._b_me3 = np.tile(
-            np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32), (O, M3, 1))
-        self._b_pr3 = np.zeros((O, M3), np.float32)
-        self._b_m3 = np.zeros((O, M3), bool)
         self._b_n3 = np.zeros(O, np.int64)
+
+        layout = list(self._b_layout)
+
+        @jax.jit
+        def _unpack(flat):
+            out = {}
+            for name, off, shp in layout:
+                n = int(np.prod(shp))
+                arr = jax.lax.dynamic_slice(flat, (off,), (n,)).reshape(shp)
+                out[name] = arr
+            return ObjectObservations(
+                est0=out["est0"], obj_mask=out["objmask"] > 0.5,
+                pose2d_cw=out["p2"], bbox2d=out["b2"], prob2d=out["pr2"],
+                mask2d=out["m2"] > 0.5,
+                pose3d_wc=out["p3"], meas3d=out["me3"], prob3d=out["pr3"],
+                mask3d=out["m3"] > 0.5)
+
+        self._unpack_fn = _unpack
 
     def _slot_for(self, inst: int):
         slot = self._slot_of.get(inst)
@@ -353,7 +389,7 @@ class Tracking:
         self._b_p2[slot, i] = pose_cw
         self._b_b2[slot, i] = bbox
         self._b_pr2[slot, i] = prob
-        self._b_m2[slot, i] = True
+        self._b_m2[slot, i] = 1.0
         self._b_n2[slot] += 1
 
     def _append_obs3d(self, inst, pose_wc, meas_vec10, prob):
@@ -364,29 +400,21 @@ class Tracking:
         self._b_p3[slot, i] = pose_wc
         self._b_me3[slot, i] = meas_vec10
         self._b_pr3[slot, i] = prob
-        self._b_m3[slot, i] = True
+        self._b_m3[slot, i] = 1.0
         self._b_n3[slot] += 1
 
     def _build_backend_batch(self) -> ObjectObservations:
         self._slot_to_instance = []
-        self._b_objmask[:] = False
+        self._b_objmask[:] = 0.0
         for inst in sorted(self.state.initialized_instances()):
             slot = self._slot_of.get(inst)
             if slot is None:
                 continue
             self._b_est0[slot] = self.state.objects[inst].vec10.astype(
                 np.float32)
-            self._b_objmask[slot] = True
+            self._b_objmask[slot] = 1.0
             self._slot_to_instance.append((slot, inst))
-
-        return ObjectObservations(
-            est0=jnp.asarray(self._b_est0),
-            obj_mask=jnp.asarray(self._b_objmask),
-            pose2d_cw=jnp.asarray(self._b_p2), bbox2d=jnp.asarray(self._b_b2),
-            prob2d=jnp.asarray(self._b_pr2), mask2d=jnp.asarray(self._b_m2),
-            pose3d_wc=jnp.asarray(self._b_p3),
-            meas3d=jnp.asarray(self._b_me3),
-            prob3d=jnp.asarray(self._b_pr3), mask3d=jnp.asarray(self._b_m3))
+        return self._unpack_fn(jnp.asarray(self._b_flat))
 
     def _run_backend(self):
         obs = self._build_backend_batch()
