@@ -428,13 +428,21 @@ class Tracking:
             self.state.objects[inst].vec10 = est[slot]
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _np_to_minimal(vec10):
+        """Host-side vec10 -> vec9 (eager device ops cost ~ms each over the
+        remote tunnel; this runs every frame per object)."""
+        qx, qy, qz, qw = vec10[3:7]
+        roll = np.arctan2(2 * (qw * qx + qy * qz), 1 - 2 * (qx * qx + qy * qy))
+        pitch = np.arcsin(np.clip(2 * (qw * qy - qz * qx), -1.0, 1.0))
+        yaw = np.arctan2(2 * (qw * qz + qx * qy), 1 - 2 * (qy * qy + qz * qz))
+        return np.concatenate([vec10[:3], [roll, pitch, yaw], vec10[7:]])
+
     def _refresh_history(self):
         """Tracking.cpp:810-852."""
-        from ..core import ellipsoid as ell_mod
         for inst in self.state.initialized_instances():
             rec = self.state.objects[inst]
-            vec9 = np.asarray(ell_mod.to_minimal(
-                jnp.asarray(rec.vec10.astype(np.float32))), np.float64)
+            vec9 = self._np_to_minimal(rec.vec10)
             n_obs = len(rec.obs2d_bbox)
             row = np.concatenate([[n_obs, 1], vec9])
             if rec.history and int(rec.history[-1][0]) == n_obs:
