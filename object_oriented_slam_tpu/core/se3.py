@@ -18,7 +18,6 @@ All math is float32; host-side IO keeps float64 and casts at the boundary.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8

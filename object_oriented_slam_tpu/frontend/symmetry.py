@@ -26,7 +26,6 @@ minimum -- dense matmul-shaped work that the MXU eats -- and the
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -16,8 +16,6 @@ long chains in O(log N) extra steps.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -9,7 +9,6 @@ and the range-image border extraction of ``src/symmetry/BorderExtractor.cpp``
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..core import se3

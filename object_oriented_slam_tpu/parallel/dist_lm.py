@@ -19,7 +19,6 @@ pose-landmark coupling; see backend/slam_ba.py.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

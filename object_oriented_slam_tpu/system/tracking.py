@@ -27,11 +27,10 @@ import numpy as np
 from ..assoc import InstanceCounter, associate_observations
 from ..backend import LMConfig, ObjectObservations, optimize_objects
 from ..core import camera as cam_mod
-from ..core import se3
 from ..init import init_quadric_svd
 from ..io.config import Config
 from ..utils import calibrate_measurement_np
-from .state import ObjectRecord, SlamState
+from .state import SlamState
 
 import jax
 
