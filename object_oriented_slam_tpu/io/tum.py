@@ -189,6 +189,39 @@ class TUMDataset:
             ts, pose, depth, rgb = out
             yield i, ts, pose, depth, rgb, self.detections(i)
 
+    # -- sequential-access API parity (io.cpp:50-61,292-325,420-441) ------
+    def valid_indices(self):
+        """Frames with both a depth association and a pose
+        (generateValidVector, io.cpp:292-325)."""
+        out = []
+        for i in range(self.total):
+            if self._assoc(self.rgb_to_depth, self.rgb_stamps[i]) is None:
+                continue
+            if self.pose_for(i) is None:
+                continue
+            out.append(i)
+        return out
+
+    def set_current(self, index: int) -> None:
+        """SetCurrentID (io.cpp:420-431)."""
+        if 0 <= index < self.total:
+            self.current = index
+
+    def empty(self) -> bool:
+        return self.current >= self.total
+
+    def read_next(self):
+        """readFrame-style sequential access (io.cpp:50-61): returns
+        (index, ts, pose, depth, rgb, detections) or None and advances."""
+        while self.current < self.total:
+            i = self.current
+            self.current += 1
+            out = self.read_frame(i)
+            if out is not None:
+                ts, pose, depth, rgb = out
+                return i, ts, pose, depth, rgb, self.detections(i)
+        return None
+
     # -- odometry (io.cpp:327-418) ---------------------------------------
     def set_odometry(self, odom_path: str, calibrate: bool = True) -> bool:
         rows = _read_rows(odom_path)

@@ -43,6 +43,14 @@ class SlamState:
     frames_ts: List[float] = dataclasses.field(default_factory=list)
     ground_plane: Optional[np.ndarray] = None  # world-frame vec4
     ground_state: int = 0  # 0 closed / 1 estimating / 2 done (Tracking.h:128)
+    # named point-cloud lists for visualization (Map::AddPointCloudList /
+    # DeletePointCloudList, src/core/Map.cpp:131-199); values are
+    # (points [N,3], colors [N,3] or None)
+    cloud_lists: Dict[str, tuple] = dataclasses.field(default_factory=dict)
+    # visual-only (non-optimized) ellipsoids (Map::addEllipsoidVisual,
+    # src/core/Map.cpp:112-129)
+    visual_ellipsoids: List[np.ndarray] = dataclasses.field(
+        default_factory=list)
 
     def record(self, instance: int) -> ObjectRecord:
         if instance not in self.objects:
@@ -51,3 +59,26 @@ class SlamState:
 
     def initialized_instances(self) -> List[int]:
         return [i for i, r in self.objects.items() if r.initialized]
+
+    def add_point_cloud_list(self, name: str, pts, colors=None,
+                             mode: int = 0) -> None:
+        """mode 0 = replace, mode 1 = append (Map.cpp:131-168)."""
+        if mode == 1 and name in self.cloud_lists:
+            old_p, old_c = self.cloud_lists[name]
+            pts = np.concatenate([old_p, np.asarray(pts)])
+            if colors is not None and old_c is not None:
+                colors = np.concatenate([old_c, np.asarray(colors)])
+            else:
+                colors = None
+        self.cloud_lists[name] = (np.asarray(pts),
+                                  None if colors is None
+                                  else np.asarray(colors))
+
+    def delete_point_cloud_list(self, name: str, partial: bool = False) -> int:
+        """Full or partial-prefix name delete (Map.cpp:170-199)."""
+        if not partial:
+            return 1 if self.cloud_lists.pop(name, None) is not None else 0
+        victims = [k for k in self.cloud_lists if k.startswith(name)]
+        for k in victims:
+            del self.cloud_lists[k]
+        return len(victims)

@@ -116,3 +116,35 @@ def test_viz_draw_frame(tmp_path):
     depth = np.full((480, 640), 10000, np.uint16)
     d = draw_depth_frame(depth)
     assert d.shape == (480, 640, 3)
+
+
+def test_cloud_lists_semantics():
+    st = SlamState()
+    a = np.zeros((10, 3))
+    b = np.ones((5, 3))
+    st.add_point_cloud_list("Extractor.ObjectPoints", a)
+    st.add_point_cloud_list("Extractor.CenterPoints", b)
+    st.add_point_cloud_list("Extractor.ObjectPoints", b, mode=1)  # append
+    assert st.cloud_lists["Extractor.ObjectPoints"][0].shape == (15, 3)
+    # partial-prefix delete (DeletePointCloudList partial matching)
+    n = st.delete_point_cloud_list("Extractor.", partial=True)
+    assert n == 2 and not st.cloud_lists
+
+
+def test_loader_sequential_api():
+    import os
+    import pytest as _pytest
+    cab = "/root/reference/Example/dataset/cabinet/"
+    if not os.path.exists(cab):
+        _pytest.skip("dataset unavailable")
+    from object_oriented_slam_tpu.io import TUMDataset
+    ds = TUMDataset(cab, use_native=False)
+    assert len(ds.valid_indices()) == 58
+    ds.set_current(55)
+    n = 0
+    while not ds.empty():
+        out = ds.read_next()
+        if out is None:
+            break
+        n += 1
+    assert n == 3
