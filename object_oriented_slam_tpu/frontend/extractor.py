@@ -121,15 +121,20 @@ def _finish_one(Two, pts_n, obj_m, pose_wc):
     return jnp.concatenate([pose_local, mx]), e_world
 
 
-@partial(jax.jit, static_argnames=("cam", "cfg"))
+@partial(jax.jit, static_argnames=("cam", "cfg", "need_single",
+                                   "need_dual"))
 def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
                              cam: Camera, cfg: ExtractorConfig,
-                             sym_types=None):
+                             sym_types=None, need_single: bool = True,
+                             need_dual: bool = True):
     """Batched single-frame estimation over all detections.
 
     depth: [H, W] int32; bboxes: [D, 4]; run_mask: [D]; pose_wc: (7,);
     ground_plane: (4,) world frame; sym_types: [D] int {0 none,
     1 reflection, 2 dual} (only used when cfg.open_symmetry).
+    ``need_single``/``need_dual`` are static flags the host derives from
+    the frame's labels so only the required symmetry variant is computed
+    (lax.cond would execute both branches under vmap).
     Returns (local vec10 [D, 10], prob [D], valid [D], debug tuple).
     """
     depth = depth.astype(jnp.int32)
@@ -150,25 +155,35 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
             depth, bbox, pose_wc, ground_plane, cam, cfg)
         prob = jnp.float32(1.0)
 
-        if cfg.open_symmetry:
+        if cfg.open_symmetry and (need_single or need_dual):
             from . import symmetry as sym_mod
             pose_oc = se3.se3_mul(se3.se3_inv(Two), pose_wc)
-            res_s = sym_mod.estimate_symmetry(pts_n, obj_m, bbox, pose_oc,
-                                              proj_depth, cam, dual=False,
-                                              cfg=sym_cfg)
-            res_d = sym_mod.estimate_symmetry(pts_n, obj_m, bbox, pose_oc,
-                                              proj_depth, cam, dual=True,
-                                              cfg=sym_cfg)
-            pts_s, m_s, Tom_s = sym_mod.complete_cloud(pts_n, obj_m, res_s,
-                                                       dual=False)
-            pts_d, m_d, Tom_d = sym_mod.complete_cloud(pts_n, obj_m, res_d,
-                                                       dual=True)
+            variants = []
+            if need_single:
+                res_s = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
+                                                  pose_oc, proj_depth, cam,
+                                                  dual=False, cfg=sym_cfg)
+                variants.append(("s", res_s, sym_mod.complete_cloud(
+                    pts_n, obj_m, res_s, dual=False)))
+            if need_dual:
+                res_d = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
+                                                  pose_oc, proj_depth, cam,
+                                                  dual=True, cfg=sym_cfg)
+                variants.append(("d", res_d, sym_mod.complete_cloud(
+                    pts_n, obj_m, res_d, dual=True)))
+
             use_sym = sym_type > 0
-            use_dual = sym_type == 2
-            pts_sym = jnp.where(use_dual, pts_d, pts_s)
-            m_sym = jnp.where(use_dual, m_d, m_s)
-            Tom = jnp.where(use_dual, Tom_d, Tom_s)
-            sym_prob = jnp.where(use_dual, res_d.prob, res_s.prob)
+            if len(variants) == 2:
+                use_dual = sym_type == 2
+                (_, res_s, (pts_s, m_s, Tom_s)) = variants[0]
+                (_, res_d, (pts_d, m_d, Tom_d)) = variants[1]
+                pts_sym = jnp.where(use_dual, pts_d, pts_s)
+                m_sym = jnp.where(use_dual, m_d, m_s)
+                Tom = jnp.where(use_dual, Tom_d, Tom_s)
+                sym_prob = jnp.where(use_dual, res_d.prob, res_s.prob)
+            else:
+                (_, res_v, (pts_sym, m_sym, Tom)) = variants[0]
+                sym_prob = res_v.prob
 
             # no-symmetry fallback padded to the same 4S capacity
             S = pts_n.shape[0]
@@ -212,7 +227,9 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
             jnp.asarray(depth_u16.astype(np.int32)), jnp.asarray(bb),
             jnp.asarray(run), jnp.asarray(pose_wc.astype(np.float32)),
             jnp.asarray(ground_plane.astype(np.float32)), cam, cfg,
-            sym_types=jnp.asarray(st))
+            sym_types=jnp.asarray(st),
+            need_single=bool((st == 1).any()),
+            need_dual=bool((st == 2).any()))
         return (np.asarray(e, np.float64)[:D], np.asarray(p, np.float64)[:D],
                 np.asarray(v)[:D])
 
