@@ -186,6 +186,128 @@ def _pcg(matvec, b, Minv_blocks, iters):
     return x
 
 
+def build_normal_equations(poses, objects, g: SlamGraph, K_mat, normal):
+    """Assemble (Hpp [F,6,F,6], bp [F,6], Hoo [K,9,9], bo [K,9], U [F,K,6,9]).
+
+    Pure function of the edge set: sharding the edge arrays and psum-ing
+    the outputs yields the same equations (see parallel/dist_slam.py).
+    """
+    F = poses.shape[0]
+    K = objects.shape[0]
+    r2, Jp2, Jo2 = _edge_terms_2d(poses, objects, g, K_mat)
+    r3, Jp3, Jo3 = _edge_terms_3d(poses, objects, g)
+    ro, Ji, Jj = _edge_terms_odo(poses, g)
+    rg, Jg = _edge_terms_grav(objects, g, normal)
+
+    # ---- Hpp dense [F,6,F,6] ----------------------------------------
+    Hpp = jnp.zeros((F, 6, F, 6))
+    bp = jnp.zeros((F, 6))
+
+    def scat_pp(Hpp, bp, fidx, Jp, r):
+        Hblk = jnp.einsum("eai,eaj->eij", Jp, Jp)
+        gblk = jnp.einsum("eai,ea->ei", Jp, r)
+        Hd = jax.ops.segment_sum(Hblk, fidx, num_segments=F)
+        gd = jax.ops.segment_sum(gblk, fidx, num_segments=F)
+        Hpp = Hpp + jnp.einsum("fij,fg->figj", Hd,
+                               jnp.eye(F, dtype=Hd.dtype))
+        return Hpp, bp + gd
+
+    Hpp, bp = scat_pp(Hpp, bp, g.e2_frame, Jp2, r2)
+    Hpp, bp = scat_pp(Hpp, bp, g.e3_frame, Jp3, r3)
+    Hpp, bp = scat_pp(Hpp, bp, g.odo_i, Ji, ro)
+    Hpp, bp = scat_pp(Hpp, bp, g.odo_j, Jj, ro)
+    # odometry off-diagonal blocks (i,j) and (j,i)
+    Hij = jnp.einsum("eai,eaj->eij", Ji, Jj)
+    flat = jax.ops.segment_sum(Hij, g.odo_i * F + g.odo_j,
+                               num_segments=F * F).reshape(F, F, 6, 6)
+    Hpp = Hpp + flat.transpose(0, 2, 1, 3)
+    Hpp = Hpp + flat.transpose(1, 3, 0, 2)
+
+    # ---- Hoo block diag [K,9,9], bo [K,9] ---------------------------
+    Hoo = (jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", Jo2, Jo2),
+                               g.e2_obj, num_segments=K)
+           + jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", Jo3, Jo3),
+                                 g.e3_obj, num_segments=K)
+           + jnp.einsum("kai,kaj->kij", Jg, Jg))
+    bo = (jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jo2, r2),
+                              g.e2_obj, num_segments=K)
+          + jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jo3, r3),
+                                g.e3_obj, num_segments=K)
+          + jnp.einsum("kai,ka->ki", Jg, rg))
+
+    # ---- coupling U [F,K,6,9] ---------------------------------------
+    U2 = jnp.einsum("eai,eaj->eij", Jp2, Jo2)
+    U3 = jnp.einsum("eai,eaj->eij", Jp3, Jo3)
+    U = (jax.ops.segment_sum(U2, g.e2_frame * K + g.e2_obj,
+                             num_segments=F * K)
+         + jax.ops.segment_sum(U3, g.e3_frame * K + g.e3_obj,
+                               num_segments=F * K)).reshape(F, K, 6, 9)
+    return Hpp, bp, Hoo, bo, U
+
+
+def solve_schur_step(Hpp, bp, Hoo, bo, U, lam, free_frame, free_obj,
+                     cg_iters: int):
+    """One damped Schur-complement solve from assembled normal equations.
+
+    Returns (dx_p [F,6], dx_o [K,9], lam0) where lam0 is the damping
+    actually applied (lam<0 requests g2o's tau*max-diag initialisation).
+    """
+    F = bp.shape[0]
+
+    diag_pp = jnp.einsum("fifi->fi", Hpp)
+    diag_oo = jnp.einsum("kii->ki", Hoo)
+    maxdiag = jnp.maximum(jnp.max(jnp.abs(diag_pp)),
+                          jnp.max(jnp.abs(diag_oo)))
+    lam0 = jnp.where(lam < 0, _TAU * maxdiag, lam)
+    lam0 = jnp.maximum(lam0, 1e-12)
+
+    eyeF = jnp.eye(6)
+    eyeK = jnp.eye(9)
+    Hpp_d = Hpp + lam0 * jnp.einsum("fg,ij->figj", jnp.eye(F), eyeF)
+    Hoo_d = Hoo + lam0 * eyeK[None]
+
+    # gauge/mask handling: fixed frames/objects get identity rows
+    fm = free_frame.astype(Hpp.dtype)
+    om = free_obj.astype(Hoo.dtype)
+    Hpp_d = (Hpp_d * fm[:, None, None, None] * fm[None, None, :, None]
+             + jnp.einsum("fg,ij->figj", jnp.diag(1.0 - fm), eyeF))
+    bp_m = bp * fm[:, None]
+    Hoo_d = (Hoo_d * om[:, None, None]
+             + eyeK[None] * (1.0 - om)[:, None, None])
+    bo_m = bo * om[:, None]
+    U_m = U * fm[:, None, None, None] * om[None, :, None, None]
+
+    # Schur: S = Hpp - U Hoo^-1 U^T ; rhs = -bp + U Hoo^-1 bo
+    Minv = jax.vmap(_inv9)(Hoo_d)                       # [K,9,9]
+    UM = jnp.einsum("fkab,kbc->fkac", U_m, Minv)        # [F,K,6,9]
+    S = Hpp_d - jnp.einsum("fkac,gkdc->fagd", UM, U_m)
+    rhs = -bp_m + jnp.einsum("fkac,kc->fa", UM, bo_m)
+
+    # block-Jacobi preconditioner from S's diagonal blocks
+    Sdiag = jax.vmap(lambda f: S[f, :, f, :])(jnp.arange(F))
+    Pinv = jax.vmap(_inv6)(Sdiag)
+
+    def matvec(x):
+        return jnp.einsum("fagd,gd->fa", S, x)
+
+    dx_p = _pcg(matvec, rhs, Pinv, cg_iters)            # [F,6]
+
+    # back-substitute landmarks: dx_o = -Minv (bo + U^T dx_p)
+    rhs_o = bo_m + jnp.einsum("fkac,fa->kc", U_m, dx_p)
+    dx_o = -jnp.einsum("kbc,kc->kb", Minv, rhs_o)
+
+    dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0) * fm[:, None]
+    dx_o = jnp.where(jnp.isfinite(dx_o), dx_o, 0.0) * om[:, None]
+    return dx_p, dx_o, lam0
+
+
+def apply_updates(poses, objects, dx_p, dx_o):
+    poses_new = jax.vmap(
+        lambda u, p: se3.se3_mul(se3.se3_exp(u), p))(dx_p, poses)
+    objects_new = jax.vmap(ell.exp_update)(objects, dx_o)
+    return poses_new, objects_new
+
+
 def optimize_slam(g: SlamGraph, K_mat, normal, cfg: LMConfig = LMConfig(),
                   cg_iters: int = 64):
     """Joint pose+landmark LM with Schur-complement reduced solves.
@@ -193,116 +315,18 @@ def optimize_slam(g: SlamGraph, K_mat, normal, cfg: LMConfig = LMConfig(),
     Returns (poses_cw [F,7], objects [K,10], chi2 scalar).
     """
     F = g.poses_cw.shape[0]
-    K = g.objects.shape[0]
 
     # frame 0 fixed (Optimizer.cpp:138); masked frames also fixed
     free_frame = g.frame_mask & (jnp.arange(F) > 0)
     free_obj = g.obj_mask
 
-    def build(poses, objects):
-        r2, Jp2, Jo2 = _edge_terms_2d(poses, objects, g, K_mat)
-        r3, Jp3, Jo3 = _edge_terms_3d(poses, objects, g)
-        ro, Ji, Jj = _edge_terms_odo(poses, g)
-        rg, Jg = _edge_terms_grav(objects, g, normal)
-
-        # ---- Hpp dense [F,6,F,6] ----------------------------------------
-        Hpp = jnp.zeros((F, 6, F, 6))
-        bp = jnp.zeros((F, 6))
-
-        def scat_pp(Hpp, bp, fidx, Jp, r):
-            Hblk = jnp.einsum("eai,eaj->eij", Jp, Jp)
-            gblk = jnp.einsum("eai,ea->ei", Jp, r)
-            Hd = jax.ops.segment_sum(Hblk, fidx, num_segments=F)
-            gd = jax.ops.segment_sum(gblk, fidx, num_segments=F)
-            Hpp = Hpp + jnp.einsum("fij,fg->figj", Hd,
-                                   jnp.eye(F, dtype=Hd.dtype))
-            return Hpp, bp + gd
-
-        Hpp, bp = scat_pp(Hpp, bp, g.e2_frame, Jp2, r2)
-        Hpp, bp = scat_pp(Hpp, bp, g.e3_frame, Jp3, r3)
-        Hpp, bp = scat_pp(Hpp, bp, g.odo_i, Ji, ro)
-        Hpp, bp = scat_pp(Hpp, bp, g.odo_j, Jj, ro)
-        # odometry off-diagonal blocks (i,j) and (j,i)
-        Hij = jnp.einsum("eai,eaj->eij", Ji, Jj)
-        flat = jax.ops.segment_sum(Hij, g.odo_i * F + g.odo_j,
-                                   num_segments=F * F).reshape(F, F, 6, 6)
-        Hpp = Hpp + flat.transpose(0, 2, 1, 3)
-        Hpp = Hpp + flat.transpose(1, 3, 0, 2)
-
-        # ---- Hoo block diag [K,9,9], bo [K,9] ---------------------------
-        Hoo = (jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", Jo2, Jo2),
-                                   g.e2_obj, num_segments=K)
-               + jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", Jo3, Jo3),
-                                     g.e3_obj, num_segments=K)
-               + jnp.einsum("kai,kaj->kij", Jg, Jg))
-        bo = (jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jo2, r2),
-                                  g.e2_obj, num_segments=K)
-              + jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jo3, r3),
-                                    g.e3_obj, num_segments=K)
-              + jnp.einsum("kai,ka->ki", Jg, rg))
-
-        # ---- coupling U [F,K,6,9] ---------------------------------------
-        U2 = jnp.einsum("eai,eaj->eij", Jp2, Jo2)
-        U3 = jnp.einsum("eai,eaj->eij", Jp3, Jo3)
-        U = (jax.ops.segment_sum(U2, g.e2_frame * K + g.e2_obj,
-                                 num_segments=F * K)
-             + jax.ops.segment_sum(U3, g.e3_frame * K + g.e3_obj,
-                                   num_segments=F * K)).reshape(F, K, 6, 9)
-        return Hpp, bp, Hoo, bo, U
-
     def step(carry, _):
         poses, objects, lam, nu, chi2 = carry
-        Hpp, bp, Hoo, bo, U = build(poses, objects)
-
-        diag_pp = jnp.einsum("fifi->fi", Hpp)
-        diag_oo = jnp.einsum("kii->ki", Hoo)
-        maxdiag = jnp.maximum(jnp.max(jnp.abs(diag_pp)),
-                              jnp.max(jnp.abs(diag_oo)))
-        lam0 = jnp.where(lam < 0, _TAU * maxdiag, lam)
-        lam0 = jnp.maximum(lam0, 1e-12)
-
-        eyeF = jnp.eye(6)
-        eyeK = jnp.eye(9)
-        Hpp_d = Hpp + lam0 * jnp.einsum(
-            "fg,ij->figj", jnp.eye(F), eyeF)
-        Hoo_d = Hoo + lam0 * eyeK[None]
-
-        # gauge/mask handling: fixed frames/objects get identity rows
-        fm = free_frame.astype(Hpp.dtype)
-        om = free_obj.astype(Hoo.dtype)
-        Hpp_d = (Hpp_d * fm[:, None, None, None] * fm[None, None, :, None]
-                 + jnp.einsum("fg,ij->figj", jnp.diag(1.0 - fm), eyeF))
-        bp_m = bp * fm[:, None]
-        Hoo_d = (Hoo_d * om[:, None, None]
-                 + eyeK[None] * (1.0 - om)[:, None, None])
-        bo_m = bo * om[:, None]
-        U_m = U * fm[:, None, None, None] * om[None, :, None, None]
-
-        # Schur: S = Hpp - U Hoo^-1 U^T ; rhs = -bp + U Hoo^-1 bo
-        Minv = jax.vmap(_inv9)(Hoo_d)                       # [K,9,9]
-        UM = jnp.einsum("fkab,kbc->fkac", U_m, Minv)        # [F,K,6,9]
-        S = Hpp_d - jnp.einsum("fkac,gkdc->fagd", UM, U_m)
-        rhs = -bp_m + jnp.einsum("fkac,kc->fa", UM, bo_m)
-
-        # block-Jacobi preconditioner from S's diagonal blocks
-        Sdiag = jax.vmap(lambda f: S[f, :, f, :])(jnp.arange(F))
-        Pinv = jax.vmap(_inv6)(Sdiag)
-
-        def matvec(x):
-            return jnp.einsum("fagd,gd->fa", S, x)
-
-        dx_p = _pcg(matvec, rhs, Pinv, cg_iters)            # [F,6]
-
-        # back-substitute landmarks: dx_o = -Minv (bo + U^T dx_p)
-        rhs_o = bo_m + jnp.einsum("fkac,fa->kc", U_m, dx_p)
-        dx_o = -jnp.einsum("kbc,kc->kb", Minv, rhs_o)
-
-        dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0) * fm[:, None]
-        dx_o = jnp.where(jnp.isfinite(dx_o), dx_o, 0.0) * om[:, None]
-
-        poses_new = jax.vmap(
-            lambda u, p: se3.se3_mul(se3.se3_exp(u), p))(dx_p, poses)
-        objects_new = jax.vmap(ell.exp_update)(objects, dx_o)
+        Hpp, bp, Hoo, bo, U = build_normal_equations(poses, objects, g,
+                                                     K_mat, normal)
+        dx_p, dx_o, lam0 = solve_schur_step(Hpp, bp, Hoo, bo, U, lam,
+                                            free_frame, free_obj, cg_iters)
+        poses_new, objects_new = apply_updates(poses, objects, dx_p, dx_o)
         chi2_new = _chi2(poses_new, objects_new, g, K_mat, normal)
 
         accept = (chi2_new < chi2) & jnp.isfinite(chi2_new)
