@@ -44,6 +44,7 @@ class System:
 
     # System.cpp:75-91
     def save_objects_to_file(self, path: str):
+        self.tracker.sync()
         st = self.tracker.state
         instances = sorted(st.initialized_instances())
         vecs = np.array([st.objects[i].vec10 for i in instances]).reshape(-1, 10)
@@ -51,6 +52,7 @@ class System:
 
     # Tracking.cpp:855-896
     def save_object_history(self, path: str):
+        self.tracker.sync()
         st = self.tracker.state
         hist = {i: np.stack(st.objects[i].history)
                 for i in sorted(st.objects)
@@ -59,5 +61,6 @@ class System:
 
     @property
     def map_objects(self):
+        self.tracker.sync()
         st = self.tracker.state
         return {i: st.objects[i].vec10 for i in st.initialized_instances()}

@@ -112,6 +112,13 @@ class Tracking:
             "Tracking.KeyFrameCheck.Close") == 1
 
         self._opt_fn = jax.jit(optimize_objects, static_argnames=("cfg",))
+        # cross-frame pipelining: the backend result of frame t is left on
+        # the device and drained at frame t+1's natural sync point (after
+        # the extraction fetch), so the LM compute overlaps host bookkeeping
+        # and the next frame's prep.  Iterates are identical to the eager
+        # path: est0 of frame t+1 is drained before its batch is built.
+        self.pipelined = True
+        self._pending_backend = None
         self._init_np_buffers()
         self._init_fn = jax.jit(
             lambda p, b, m, K: init_quadric_svd(p, b, m, K,
@@ -180,6 +187,11 @@ class Tracking:
                 local_prob[run] = np.asarray(pr)[run]
                 local_valid[run] = np.asarray(va)[run]
 
+        # drain the previous frame's backend result (the device has been
+        # computing it during this frame's IO + extraction; the extraction
+        # fetch above already waited for it, so this fetch is free)
+        self._drain_backend()
+
         # ---- [1.3] data association ----------------------------------
         if with_association:
             associations = [int(round(det_mat[i, 7])) for i in range(n_det)]
@@ -243,7 +255,8 @@ class Tracking:
         t2 = time.perf_counter()
         if self.open_optimization and self.state.initialized_instances():
             self._run_backend()
-            self._refresh_history()
+            if not self.pipelined:
+                self._drain_backend()
         t3 = time.perf_counter()
         self.metrics["frontend"].append(t1 - t0)
         self.metrics["backend"].append(t3 - t2)
@@ -422,9 +435,27 @@ class Tracking:
                   if gset else np.zeros(3, np.float32))
         est, chi2 = self._opt_fn(obs, jnp.asarray(self.K.astype(np.float32)),
                                  jnp.asarray(normal), gset, self.lm_cfg)
+        # snapshot the per-instance observation counts NOW: the history row
+        # written at drain time must pair frame-t estimates with frame-t
+        # counts (RefreshObjectHistory semantics, Tracking.cpp:810-852)
+        nobs = {inst: len(self.state.objects[inst].obs2d_bbox)
+                for _, inst in self._slot_to_instance}
+        self._pending_backend = (est, list(self._slot_to_instance), nobs)
+
+    def _drain_backend(self):
+        """Fetch + apply a pending (pipelined) backend result, if any."""
+        if self._pending_backend is None:
+            return
+        est, slot_to_instance, nobs = self._pending_backend
+        self._pending_backend = None
         est = np.asarray(est, np.float64)
-        for slot, inst in self._slot_to_instance:
+        for slot, inst in slot_to_instance:
             self.state.objects[inst].vec10 = est[slot]
+        self._refresh_history(nobs)
+
+    def sync(self):
+        """Drain any in-flight device work (call before reading results)."""
+        self._drain_backend()
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -437,12 +468,12 @@ class Tracking:
         yaw = np.arctan2(2 * (qw * qz + qx * qy), 1 - 2 * (qy * qy + qz * qz))
         return np.concatenate([vec10[:3], [roll, pitch, yaw], vec10[7:]])
 
-    def _refresh_history(self):
-        """Tracking.cpp:810-852."""
-        for inst in self.state.initialized_instances():
+    def _refresh_history(self, nobs: Dict[int, int]):
+        """Tracking.cpp:810-852 (nobs = obs counts at optimization time)."""
+        for inst in sorted(nobs):
             rec = self.state.objects[inst]
             vec9 = self._np_to_minimal(rec.vec10)
-            n_obs = len(rec.obs2d_bbox)
+            n_obs = nobs[inst]
             row = np.concatenate([[n_obs, 1], vec9])
             if rec.history and int(rec.history[-1][0]) == n_obs:
                 rec.history[-1] = row

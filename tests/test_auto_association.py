@@ -73,6 +73,7 @@ def test_two_objects_auto_association(tmp_path):
         tracker.grab_pose_and_objects(float(i), pose_wc, det, depth,
                                       with_association=False)
 
+    tracker.sync()
     insts = tracker.state.initialized_instances()
     assert len(insts) == 2, insts
     # each instance accumulated one observation per frame (association

@@ -27,6 +27,7 @@ def cabinet_run(tmp_path_factory):
     for i, ts, pose, depth, rgb, det in ds.frames():
         slam.track_with_objects(ts, pose, det, depth=None, rgb=None,
                                 with_association=True)
+    slam.tracker.sync()
     return slam
 
 

@@ -32,6 +32,7 @@ def run3d():
         if i % 2:
             continue
         slam.track_with_objects(ts, pose, det, depth=depth)
+    slam.tracker.sync()
     return slam
 
 

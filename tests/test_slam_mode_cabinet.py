@@ -48,6 +48,7 @@ def cabinet_graph():
         slam.track_with_objects(ts, p, det)
     gt = np.stack(gt)
     noisy = np.stack(noisy)
+    slam.tracker.sync()
     assert slam.tracker.state.initialized_instances()
     cfg = slam.tracker.lm_cfg._replace(gravity_on=False, iters=15)
     g, insts = build_slam_graph(slam.tracker.state, cfg, max_frames=64,
