@@ -207,13 +207,18 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
 
 
 def make_extractor(cam: Camera, cfg: ExtractorConfig):
-    """Adapter for system.Tracking's extractor hook (host numpy in/out)."""
+    """Adapter for system.Tracking's extractor hook.
+
+    Returns a DEVICE array packed [pad, 12] (vec10, prob, valid) so the
+    caller can fold it into one host fetch per frame — each fetch costs a
+    full tunnel round trip (~25 ms on the remote axon device), so the
+    3-array protocol cost more than the extraction itself.
+    """
     import numpy as np
 
     def extractor(depth_u16, bboxes, labels, pose_wc, ground_plane):
         if ground_plane is None:
-            n = len(bboxes)
-            return (np.zeros((n, 10)), np.zeros(n), np.zeros(n, bool))
+            return None
         from .symmetry import sym_type_of_labels
         D = len(bboxes)
         pad = 8
@@ -230,7 +235,7 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
             sym_types=jnp.asarray(st),
             need_single=bool((st == 1).any()),
             need_dual=bool((st == 2).any()))
-        return (np.asarray(e, np.float64)[:D], np.asarray(p, np.float64)[:D],
-                np.asarray(v)[:D])
+        return jnp.concatenate(
+            [e, p[:, None], v[:, None].astype(e.dtype)], axis=1)
 
     return extractor

@@ -120,9 +120,13 @@ class Tracking:
         self.pipelined = True
         self._pending_backend = None
         self._init_np_buffers()
-        self._init_fn = jax.jit(
-            lambda p, b, m, K: init_quadric_svd(p, b, m, K,
-                                                self.rows, self.cols))
+        # packed [11] output (vec10, ok) -> one host fetch per attempt
+        def _init_packed(p, b, m, K):
+            res = init_quadric_svd(p, b, m, K, self.rows, self.cols)
+            return jnp.concatenate(
+                [res.ellipsoid,
+                 res.ok.astype(res.ellipsoid.dtype)[None]])
+        self._init_fn = jax.jit(_init_packed)
         # per-frame instrumentation (seconds), see SURVEY.md section 5
         self.metrics: Dict[str, List[float]] = {"backend": [], "frontend": [],
                                                 "total": []}
@@ -166,12 +170,14 @@ class Tracking:
         local_vec10 = np.zeros((n_det, 10))
         local_prob = np.zeros(n_det)
         local_valid = np.zeros(n_det, bool)
+        ext_out = None
+        run = np.zeros(n_det, bool)
         if self.depth_ellipsoid_opened and depth is not None and n_det > 0 \
                 and self.state.ground_state == 2:
             bboxes = det_mat[:, 1:5].copy()
             labels = det_mat[:, 5].astype(int)
             # gates c1 (border) and c3 (invalid manual association)
-            run = np.ones(n_det, bool)
+            run[:] = True
             for i in range(n_det):
                 _, is_border = calibrate_measurement_np(
                     bboxes[i], self.rows, self.cols, self.border_px,
@@ -181,16 +187,43 @@ class Tracking:
                 if with_association and det_mat[i, 7] < 0:
                     run[i] = False
             if np.any(run):
-                v10, pr, va = self.extractor(depth, bboxes, labels,
-                                             pose_wc, self.state.ground_plane)
-                local_vec10[run] = np.asarray(v10)[run]
-                local_prob[run] = np.asarray(pr)[run]
-                local_valid[run] = np.asarray(va)[run]
+                ext_out = self.extractor(depth, bboxes, labels,
+                                         pose_wc, self.state.ground_plane)
 
-        # drain the previous frame's backend result (the device has been
-        # computing it during this frame's IO + extraction; the extraction
-        # fetch above already waited for it, so this fetch is free)
-        self._drain_backend()
+        # ---- single host fetch: extraction results + the previous
+        # frame's backend estimates travel in ONE transfer (each fetch
+        # over the remote tunnel costs a full ~25 ms round trip)
+        est_prev = None
+        ext_np = None
+        if ext_out is not None and isinstance(ext_out, tuple):
+            # legacy extractor protocol: three host arrays
+            v10, pr, va = ext_out
+            ext_np = np.concatenate(
+                [np.asarray(v10, np.float64).reshape(-1, 10),
+                 np.asarray(pr, np.float64).reshape(-1, 1),
+                 np.asarray(va, np.float64).reshape(-1, 1)], axis=1)
+        else:
+            pend = self._pending_backend
+            if ext_out is not None and pend is not None:
+                n_ext = int(np.prod(ext_out.shape))
+                flat = np.asarray(jnp.concatenate(
+                    [jnp.reshape(ext_out, (-1,)),
+                     jnp.reshape(pend[0], (-1,))]), np.float64)
+                ext_np = flat[:n_ext].reshape(ext_out.shape)
+                est_prev = flat[n_ext:].reshape(-1, 10)
+            elif ext_out is not None:
+                ext_np = np.asarray(ext_out, np.float64)
+            elif pend is not None:
+                est_prev = np.asarray(pend[0], np.float64)
+        if ext_np is not None:
+            local_vec10[run] = ext_np[:n_det][run, :10]
+            local_prob[run] = ext_np[:n_det][run, 10]
+            local_valid[run] = ext_np[:n_det][run, 11] > 0.5
+
+        # drain the previous frame's backend result (computed on-device
+        # during this frame's IO + extraction; fetched above in the same
+        # transfer as the extraction results)
+        self._drain_backend(est_prev)
 
         # ---- [1.3] data association ----------------------------------
         if with_association:
@@ -304,10 +337,11 @@ class Tracking:
             poses[:M] = np.stack(rec.obs2d_pose_wc).astype(np.float32)
             bboxes[:M] = np.stack(rec.obs2d_bbox).astype(np.float32)
             mask[:M] = True
-            res = self._init_fn(jnp.asarray(poses), jnp.asarray(bboxes),
-                                jnp.asarray(mask), jnp.asarray(self.K))
-            if bool(res.ok):
-                rec.vec10 = np.asarray(res.ellipsoid, np.float64)
+            res = np.asarray(self._init_fn(
+                jnp.asarray(poses), jnp.asarray(bboxes),
+                jnp.asarray(mask), jnp.asarray(self.K)), np.float64)
+            if res[10] > 0.5:
+                rec.vec10 = res[:10]
                 rec.initialized = True
 
         # 3D path: seed directly from the latest local estimate
@@ -442,13 +476,17 @@ class Tracking:
                 for _, inst in self._slot_to_instance}
         self._pending_backend = (est, list(self._slot_to_instance), nobs)
 
-    def _drain_backend(self):
-        """Fetch + apply a pending (pipelined) backend result, if any."""
+    def _drain_backend(self, est_np=None):
+        """Apply a pending (pipelined) backend result, if any.
+
+        ``est_np``: optionally the already-fetched estimate array (the
+        frame loop folds it into the extraction fetch).
+        """
         if self._pending_backend is None:
             return
         est, slot_to_instance, nobs = self._pending_backend
         self._pending_backend = None
-        est = np.asarray(est, np.float64)
+        est = np.asarray(est, np.float64) if est_np is None else est_np
         for slot, inst in slot_to_instance:
             self.state.objects[inst].vec10 = est[slot]
         self._refresh_history(nobs)
