@@ -221,7 +221,14 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
             return None
         from .symmetry import sym_type_of_labels
         D = len(bboxes)
-        pad = 8
+        # pad the detection axis to the next power of two (<= 8): the
+        # extraction work is linear in the padded count, and most frames
+        # carry far fewer detections than the old fixed 8 slots (the
+        # bundled cabinet sequence has exactly 1), so compiling a handful
+        # of shape variants buys back ~8x device time on sparse frames
+        pad = 1
+        while pad < min(D, 8):
+            pad *= 2
         bb = np.zeros((pad, 4), np.float32)
         bb[:D] = bboxes[:pad]
         run = np.zeros(pad, bool)

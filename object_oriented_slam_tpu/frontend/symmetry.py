@@ -54,6 +54,13 @@ class SymmetryConfig:
     step_dis: float = 0.2       # GenerateInitPlanes
     step_angle_deg: float = 5.0
     num_delta: float = 1e-3     # numeric-jacobian step
+    # exact reverse-mode gradient of the (differentiable) cost instead of
+    # the reference's central differences (SymmetrySolver.cpp uses g2o
+    # numeric diff only because its cost walks a KdTree): one backward
+    # pass replaces 2*n_par forward cost evaluations per LM iteration —
+    # ~3x less device work for the dual-plane search.  Deviation noted
+    # in PARITY.md; set False for numeric-diff-faithful iterates.
+    analytic_grad: bool = True
 
 
 def _plane_from_params(angle, dis):
@@ -62,17 +69,18 @@ def _plane_from_params(angle, dis):
                       jnp.zeros_like(angle), -dis])
 
 
-def _nn_dist(query, q_mask, ref, r_mask):
-    """Min distance from each query point to the masked reference cloud.
-
-    query [M,3], ref [S,3] -> [M]; distance-matrix form runs on the MXU.
-    """
+def _nn_dist2(query, ref, r_mask):
+    """Min SQUARED distance from each query point to the masked reference
+    cloud.  query [M,3], ref [S,3] -> [M]; distance-matrix form runs on
+    the MXU.  Squared form (the Gaussian cost only ever uses d^2) avoids
+    a sqrt whose derivative blows up at d=0 — points lying exactly on the
+    candidate plane mirror onto themselves — keeping the cost safe for
+    ``jax.grad`` (SymmetryConfig.analytic_grad)."""
     d2 = (jnp.sum(query * query, axis=1)[:, None]
           + jnp.sum(ref * ref, axis=1)[None, :]
           - 2.0 * query @ ref.T)
-    d2 = jnp.where(r_mask[None, :], d2, jnp.inf)
-    d2 = jnp.min(d2, axis=1)
-    return jnp.sqrt(jnp.maximum(d2, 0.0))
+    d2 = jnp.where(r_mask[None, :], d2, jnp.float32(1e30))
+    return jnp.maximum(jnp.min(d2, axis=1), 0.0)
 
 
 def _mirror_cost(planes, pts, mask, bbox, pose_oc, proj_depth, cam: Camera,
@@ -106,12 +114,11 @@ def _mirror_cost(planes, pts, mask, bbox, pose_oc, proj_depth, cam: Camera,
     dis_cam = jnp.linalg.norm(mirrored - cam_c, axis=1)
     occluded = in_bbox & ((d_meas <= 1e-9) | (dis_cam > d_meas))
 
-    nn = _nn_dist(mirrored, m_mask, pts, mask)
-    dis_diff = jnp.where(occluded, 0.0, nn)
-    dis_diff = jnp.where(m_mask, dis_diff, 0.0)
+    nn2 = _nn_dist2(mirrored, pts, mask)
+    d2 = jnp.where(occluded | ~m_mask, 0.0, nn2)
 
     inv_sig = 1.0 / sigma
-    ln_p = -0.5 * inv_sig * inv_sig * dis_diff * dis_diff
+    ln_p = -0.5 * inv_sig * inv_sig * d2
     n_valid = jnp.maximum(jnp.sum(m_mask), 1.0)
     return -jnp.sum(jnp.where(m_mask, ln_p, 0.0)) / n_valid
 
@@ -144,12 +151,15 @@ def _optimize_one_init(init_angle, init_dis, pts, mask, bbox, pose_oc,
 
     def step(carry, _):
         params, lam, nu, c = carry
-        # numeric central-difference jacobian of the scalar cost
-        h = cfg.num_delta
-        eye = jnp.eye(n_par) * h
-        cp = jax.vmap(lambda d: cost(params + d))(eye)
-        cm = jax.vmap(lambda d: cost(params - d))(eye)
-        g = (cp - cm) / (2 * h)                   # gradient of cost
+        if cfg.analytic_grad:
+            g = jax.grad(cost)(params)            # exact gradient
+        else:
+            # numeric central-difference jacobian of the scalar cost
+            h = cfg.num_delta
+            eye = jnp.eye(n_par) * h
+            cp = jax.vmap(lambda d: cost(params + d))(eye)
+            cm = jax.vmap(lambda d: cost(params - d))(eye)
+            g = (cp - cm) / (2 * h)               # gradient of cost
         # Gauss-Newton on the scalar residual r = cost (info=1):
         # J = g (1 x n), H = g g^T
         H = jnp.outer(g, g) * 1.0
