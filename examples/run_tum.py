@@ -37,7 +37,17 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--checkpoint", default=None,
                     help="save state checkpoint at the end")
+    ap.add_argument("--distributed", action="store_true",
+                    help="shard the backend BA over all devices "
+                         "(multi-host via JAX_COORDINATOR_ADDRESS/"
+                         "JAX_NUM_PROCESSES/JAX_PROCESS_ID)")
     args = ap.parse_args()
+
+    if args.distributed:
+        # must run before any other jax use on a multi-host slice
+        from object_oriented_slam_tpu.parallel.multihost import initialize
+        if initialize():
+            print("jax.distributed initialized")
 
     import numpy as np
     from object_oriented_slam_tpu.core.camera import Camera
@@ -82,6 +92,11 @@ def main():
                   plane_estimator=plane_est)
     if not args.no_depth:
         slam.open_ground_plane_estimation()
+    if args.distributed:
+        slam.open_distributed_backend()
+        print("backend sharded over", end=" ")
+        import jax
+        print(f"{len(jax.devices())} device(s)")
 
     builder = None
     if args.build_dense:

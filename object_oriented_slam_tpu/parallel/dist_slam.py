@@ -76,8 +76,149 @@ def pad_graph_edges(g: sb.SlamGraph, multiple: int) -> sb.SlamGraph:
     )
 
 
+def pad_graph_frames(g: sb.SlamGraph, multiple: int) -> sb.SlamGraph:
+    """Pad the frame axis to a multiple of the mesh size with masked frames.
+
+    Padded frames carry identity poses (valid quaternions, so SE3 ops on
+    the masked lanes stay finite), ``frame_mask=False`` (the solver fixes
+    them with identity rows), and no edges reference them — so the padded
+    graph optimizes to the same solution as the raw one.
+    """
+    import numpy as np
+
+    F = int(np.asarray(g.poses_cw).shape[0])
+    Fp = -(-max(F, 1) // multiple) * multiple
+    if Fp == F:
+        return g
+    identity7 = np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+    poses = np.concatenate([np.asarray(g.poses_cw),
+                            np.tile(identity7, (Fp - F, 1))]).astype(
+                                np.float32)
+    mask = np.concatenate([np.asarray(g.frame_mask),
+                           np.zeros(Fp - F, bool)])
+    return g._replace(poses_cw=jnp.asarray(poses),
+                      frame_mask=jnp.asarray(mask))
+
+
+def solve_schur_framesharded(Hpp, bp, Hoo, bo, U, lam, free_frame,
+                             free_obj, cg_iters: int, mesh: Mesh):
+    """Frame-sharded Schur-complement solve of assembled normal equations.
+
+    The reduced camera system S = Hpp - U Hoo^-1 U^T is the part of the
+    SLAM-mode backend that grows with trajectory length (F frames ->
+    O(F^2) matvec, O(F^2 K) Schur assembly).  Here the *rows* of S are
+    sharded over the mesh: every device builds S[f_local, :, :, :] and
+    its slice of the rhs, the block-Jacobi PCG runs with all state
+    [F_local, 6] sharded (one [F,6] ``all_gather`` + two scalar ``psum``
+    per iteration — payload independent of F per device), and the
+    landmark back-substitution psum-reduces the per-device coupling
+    contributions.  Math identical to ``backend.slam_ba.solve_schur_step``
+    up to f32 reduction order.
+
+    Requires bp.shape[0] % mesh.shape[AXIS] == 0 (pad_graph_frames).
+    Returns (dx_p [F,6] sharded over frames, dx_o [K,9], lam0).
+    """
+    from ..backend.lm import _TAU
+
+    F = bp.shape[0]
+    n_dev = mesh.shape[AXIS]
+    assert F % n_dev == 0, (F, n_dev)
+    eye6 = jnp.eye(6)
+    eye9 = jnp.eye(9)
+
+    def body(Hpp_l, bp_l, fm_l, Hoo, bo, U, lam, fm_full, om):
+        Fl = bp_l.shape[0]
+        gidx = jax.lax.axis_index(AXIS) * Fl + jnp.arange(Fl)
+        onehot = (gidx[:, None] == jnp.arange(F)[None, :]).astype(
+            Hpp_l.dtype)                                     # [Fl,F]
+
+        # -- damping from the global max |diagonal| -------------------
+        diag_blk = jnp.einsum("figj,fg->fij", Hpp_l, onehot)  # [Fl,6,6]
+        diag_pp = jnp.einsum("fii->fi", diag_blk)
+        diag_oo = jnp.einsum("kii->ki", Hoo)
+        maxdiag = jnp.maximum(
+            jax.lax.pmax(jnp.max(jnp.abs(diag_pp)), AXIS),
+            jnp.max(jnp.abs(diag_oo)))
+        lam0 = jnp.where(lam < 0, _TAU * maxdiag, lam)
+        lam0 = jnp.maximum(lam0, 1e-12)
+
+        Hpp_d = Hpp_l + lam0 * jnp.einsum("fg,ij->figj", onehot, eye6)
+        Hoo_d = Hoo + lam0 * eye9[None]
+
+        # -- gauge/mask: fixed frames/objects -> identity rows --------
+        Hpp_d = (Hpp_d * fm_l[:, None, None, None]
+                 * fm_full[None, None, :, None]
+                 + jnp.einsum("fg,ij->figj",
+                              onehot * (1.0 - fm_l)[:, None], eye6))
+        bp_m = bp_l * fm_l[:, None]
+        Hoo_d = (Hoo_d * om[:, None, None]
+                 + eye9[None] * (1.0 - om)[:, None, None])
+        bo_m = bo * om[:, None]
+        U_mf = U * fm_full[:, None, None, None] * om[None, :, None, None]
+        U_ml = U_mf[gidx]                                    # [Fl,K,6,9]
+
+        # -- local rows of the Schur complement -----------------------
+        Minv = jax.vmap(sb._inv9)(Hoo_d)                     # [K,9,9]
+        UM = jnp.einsum("fkab,kbc->fkac", U_ml, Minv)        # [Fl,K,6,9]
+        S_l = Hpp_d - jnp.einsum("fkac,gkdc->fagd", UM, U_mf)
+        rhs_l = -bp_m + jnp.einsum("fkac,kc->fa", UM, bo_m)
+
+        Sdiag = jnp.einsum("figj,fg->fij", S_l, onehot)      # [Fl,6,6]
+        Pinv = jax.vmap(sb._inv6)(Sdiag)
+
+        # -- PCG, all vector state frame-sharded ----------------------
+        def matvec(p_l):
+            p_full = jax.lax.all_gather(p_l, AXIS, tiled=True)  # [F,6]
+            return jnp.einsum("fagd,gd->fa", S_l, p_full)
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), AXIS)
+
+        def precond(r):
+            return jnp.einsum("fij,fj->fi", Pinv, r)
+
+        x0 = jnp.zeros_like(rhs_l)
+        z0 = precond(rhs_l)
+
+        def cg_body(carry, _):
+            x, r, z, p, rz = carry
+            Ap = matvec(p)
+            pAp = pdot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) > 1e-20, pAp, 1e-20)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz_new = pdot(r, z)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+            p = z + beta * p
+            return (x, r, z, p, rz_new), None
+
+        (dx_p, _, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, rhs_l, z0, z0, pdot(rhs_l, z0)), None,
+            length=cg_iters)
+
+        # -- landmark back-substitution (psum over frame shards) ------
+        rhs_o = bo_m + jax.lax.psum(
+            jnp.einsum("fkac,fa->kc", U_ml, dx_p), AXIS)
+        dx_o = -jnp.einsum("kbc,kc->kb", Minv, rhs_o)
+
+        dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0) * fm_l[:, None]
+        dx_o = jnp.where(jnp.isfinite(dx_o), dx_o, 0.0) * om[:, None]
+        return dx_p, dx_o, lam0
+
+    rep = P()
+    sh = P(AXIS)
+    fm = free_frame.astype(bp.dtype)
+    om = free_obj.astype(bo.dtype)
+    return shard_map(body, mesh=mesh,
+                     in_specs=(sh, sh, sh, rep, rep, rep, rep, rep, rep),
+                     out_specs=(sh, rep, rep))(
+        Hpp, bp, fm, Hoo, bo, U, lam, fm, om)
+
+
 def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
-                          cfg: LMConfig = LMConfig(), cg_iters: int = 64):
+                          cfg: LMConfig = LMConfig(), cg_iters: int = 64,
+                          shard_solve: bool = False):
     """Distributed SLAM-mode BA over an edge-sharded mesh.
 
     Only the O(E) work — per-edge residuals/jacobians and their
@@ -87,9 +228,17 @@ def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
     loop blew compile time up by >40x on the CPU backend).  Returns
     (poses_cw, objects, chi2), matching ``backend.slam_ba.optimize_slam``
     on the same (padded) graph up to f32 reduction order.
+
+    With ``shard_solve=True`` the Schur-complement reduced-camera solve
+    is additionally sharded over the *frame* axis
+    (``solve_schur_framesharded``): both the O(E) jacobian work and the
+    O(F^2 K) reduced-system work then scale with the mesh — the regime
+    for long multi-host pose graphs.
     """
     n_dev = mesh.shape[AXIS]
     g = pad_graph_edges(g, n_dev)
+    if shard_solve:
+        g = pad_graph_frames(g, n_dev)
     F = g.poses_cw.shape[0]
 
     rep = P()
@@ -137,8 +286,14 @@ def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
             poses, objects, lam, nu, chi2 = carry
             Hpp, bp, Hoo, bo, U, _ = build_sharded(poses, objects,
                                                    *edge_args)
-            dx_p, dx_o, lam0 = sb.solve_schur_step(
-                Hpp, bp, Hoo, bo, U, lam, free_frame, free_obj, cg_iters)
+            if shard_solve:
+                dx_p, dx_o, lam0 = solve_schur_framesharded(
+                    Hpp, bp, Hoo, bo, U, lam, free_frame, free_obj,
+                    cg_iters, mesh)
+            else:
+                dx_p, dx_o, lam0 = sb.solve_schur_step(
+                    Hpp, bp, Hoo, bo, U, lam, free_frame, free_obj,
+                    cg_iters)
             poses_new, objects_new = sb.apply_updates(poses, objects,
                                                       dx_p, dx_o)
             chi2_new = chi2_sharded(poses_new, objects_new, *edge_args)

@@ -42,6 +42,19 @@ class System:
     def open_ground_plane_estimation(self):
         self.tracker.open_ground_plane_estimation()
 
+    def open_distributed_backend(self, mesh=None):
+        """Shard the mapping-mode BA over a device mesh.
+
+        The reference has no distributed backend (SURVEY.md §2.7); this is
+        the introduced TPU-native scaling axis: observation buffers are
+        partitioned over the mesh, per-edge jacobian work runs locally and
+        the normal-equation blocks psum over ICI/DCN
+        (``parallel/dist_lm.py``).  With ``mesh=None`` a 1-D mesh over all
+        visible (global) devices is built; call
+        ``parallel.multihost.initialize()`` first on multi-host slices.
+        """
+        self.tracker.enable_distributed(mesh)
+
     # System.cpp:75-91
     def save_objects_to_file(self, path: str):
         self.tracker.sync()

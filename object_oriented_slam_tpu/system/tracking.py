@@ -112,6 +112,7 @@ class Tracking:
             "Tracking.KeyFrameCheck.Close") == 1
 
         self._opt_fn = jax.jit(optimize_objects, static_argnames=("cfg",))
+        self._mesh = None  # set by enable_distributed
         # cross-frame pipelining: the backend result of frame t is left on
         # the device and drained at frame t+1's natural sync point (after
         # the extraction fetch), so the LM compute overlaps host bookkeeping
@@ -461,6 +462,24 @@ class Tracking:
             self._b_objmask[slot] = 1.0
             self._slot_to_instance.append((slot, inst))
         return self._unpack_fn(jnp.asarray(self._b_flat))
+
+    def enable_distributed(self, mesh=None):
+        """Shard the mapping-mode backend over a device mesh.
+
+        Swaps ``_opt_fn`` for the observation-sharded distributed LM
+        (``parallel/dist_lm.py``; identical iterates to the single-chip
+        path up to f32 psum order).  The fixed observation capacities are
+        powers of two, so any power-of-two mesh divides them evenly.
+        """
+        from ..parallel.dist_lm import optimize_objects_sharded
+        from ..parallel.multihost import observation_mesh
+        mesh = mesh if mesh is not None else observation_mesh()
+        self._mesh = mesh
+
+        def fn(obs, K, normal, gset, cfg):
+            return optimize_objects_sharded(obs, K, normal, gset, mesh, cfg)
+
+        self._opt_fn = jax.jit(fn, static_argnames=("cfg",))
 
     def _run_backend(self):
         obs = self._build_backend_batch()

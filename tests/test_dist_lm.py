@@ -60,3 +60,36 @@ def test_sharded_matches_single(ndev):
     assert np.allclose(est_d[0][:3], gt[:3], atol=0.02)
     # untouched object slots preserved
     assert np.allclose(est_d[1:], np.asarray(obs.est0)[1:], atol=1e-6)
+
+
+def test_system_distributed_backend_cabinet():
+    """System.open_distributed_backend: the sharded backend drops into the
+    tracking loop (2D-only cabinet slice) and matches the single-chip map."""
+    import os
+    from object_oriented_slam_tpu.io import TUMDataset
+    from object_oriented_slam_tpu.system import System
+
+    cabinet = "/root/reference/Example/dataset/cabinet/"
+    yaml = "/root/reference/Example/param/TUM3.yaml"
+    if not os.path.exists(cabinet):
+        pytest.skip("cabinet dataset unavailable")
+
+    def run(distributed):
+        ds = TUMDataset(cabinet)
+        slam = System(yaml)
+        if distributed:
+            slam.open_distributed_backend()
+            assert slam.tracker._mesh is not None
+        for n, (i, ts, pose, depth, rgb, det) in enumerate(ds.frames()):
+            slam.track_with_objects(ts, pose, det, depth=None, rgb=None,
+                                    with_association=True)
+            if n >= 24:       # past SVD init (15 obs) + several LM frames
+                break
+        slam.tracker.sync()
+        return slam.map_objects
+
+    objs_s = run(False)
+    objs_d = run(True)
+    assert set(objs_d) == set(objs_s) and 0 in objs_d
+    assert np.allclose(objs_d[0], objs_s[0], atol=1e-3), \
+        np.abs(objs_d[0] - objs_s[0]).max()
