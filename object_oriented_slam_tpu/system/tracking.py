@@ -113,13 +113,29 @@ class Tracking:
 
         self._opt_fn = jax.jit(optimize_objects, static_argnames=("cfg",))
         self._mesh = None  # set by enable_distributed
-        # cross-frame pipelining: the backend result of frame t is left on
-        # the device and drained at frame t+1's natural sync point (after
-        # the extraction fetch), so the LM compute overlaps host bookkeeping
-        # and the next frame's prep.  Iterates are identical to the eager
-        # path: est0 of frame t+1 is drained before its batch is built.
+        # Cross-frame pipelining.  Two independent mechanisms, both
+        # preserving the reference's strict per-frame processing order
+        # (obs -> init -> backend per frame, Tracking.cpp:170-204) and
+        # bit-identical results; only the wall-clock moment the host
+        # *reads* device results shifts:
+        #   1. extraction deferral: frame t's extraction is dispatched
+        #      immediately, its async host copy starts right away, and the
+        #      host-side processing runs pipeline_depth-1 frames later --
+        #      by then compute AND transfer have finished, so the fetch
+        #      costs ~0 instead of compute + a tunnel round trip
+        #      (~25-100 ms on the remote axon link, varies by day);
+        #   2. backend chaining: each LM call warm-starts from the
+        #      previous call's on-device output, so its host drain (for
+        #      history/outputs only) can lag arbitrarily -- results are
+        #      drained in dispatch order once their async copies have had
+        #      pipeline_depth frames to land.
+        # sync() flushes both queues.  pipeline_depth=1 => eager.
+        from collections import deque
         self.pipelined = True
-        self._pending_backend = None
+        self.pipeline_depth = 4
+        self._pending_extraction = deque()
+        self._pending_backends = deque()   # (frame_no, est, slots, nobs)
+        self._backend_calls = 0
         self._init_np_buffers()
         # packed [11] output (vec10, ok) -> one host fetch per attempt
         def _init_packed(p, b, m, K):
@@ -130,7 +146,8 @@ class Tracking:
         self._init_fn = jax.jit(_init_packed)
         # per-frame instrumentation (seconds), see SURVEY.md section 5
         self.metrics: Dict[str, List[float]] = {"backend": [], "frontend": [],
-                                                "total": []}
+                                                "total": [], "dispatch": [],
+                                                "fetch": [], "host": []}
 
     # ------------------------------------------------------------------
     def open_ground_plane_estimation(self):
@@ -166,11 +183,8 @@ class Tracking:
                 self.state.ground_plane = pw
                 self.state.ground_state = 2
 
-        # ---- [1.2] single-frame ellipsoid estimation ------------------
+        # ---- [1.2] single-frame ellipsoid estimation (dispatch) --------
         n_det = det_mat.shape[0]
-        local_vec10 = np.zeros((n_det, 10))
-        local_prob = np.zeros(n_det)
-        local_valid = np.zeros(n_det, bool)
         ext_out = None
         run = np.zeros(n_det, bool)
         if self.depth_ellipsoid_opened and depth is not None and n_det > 0 \
@@ -191,10 +205,47 @@ class Tracking:
                 ext_out = self.extractor(depth, bboxes, labels,
                                          pose_wc, self.state.ground_plane)
 
-        # ---- single host fetch: extraction results + the previous
-        # frame's backend estimates travel in ONE transfer (each fetch
-        # over the remote tunnel costs a full ~25 ms round trip)
-        est_prev = None
+        item = (frame_id, pose_wc, det_mat, ext_out, run, with_association)
+        # start the extraction result's host copy now: it has
+        # pipeline_depth-1 frame periods to land before it is read
+        if ext_out is not None and hasattr(ext_out, "copy_to_host_async"):
+            try:
+                ext_out.copy_to_host_async()
+            except Exception:
+                pass
+        self.metrics["dispatch"].append(time.perf_counter() - t0)
+        if self.pipeline_depth >= 2 and self.extractor is not None:
+            self._pending_extraction.append(item)
+            if len(self._pending_extraction) >= self.pipeline_depth:
+                self._process_frame_obs(*self._pending_extraction.popleft())
+            t1 = t2 = t3 = time.perf_counter()
+        else:
+            self._process_frame_obs(*item)
+            t1, t2, t3 = self._t1, self._t2, self._t3
+        self.metrics["frontend"].append(t1 - t0)
+        self.metrics["backend"].append(t3 - t2)
+        self.metrics["total"].append(t3 - t0)
+        return True
+
+    # ------------------------------------------------------------------
+    def _process_frame_obs(self, frame_id, pose_wc, det_mat, ext_out, run,
+                           with_association):
+        """Host-side half of a frame: fetch extraction results, associate,
+        store observations, initialize, dispatch the backend.
+
+        With ``pipeline_depth>=2`` this runs one frame late (during the
+        next frame's device extraction); the processing order and inputs
+        per frame are identical to the eager path.
+        """
+        import time
+        tp0 = time.perf_counter()
+        n_det = det_mat.shape[0]
+        local_vec10 = np.zeros((n_det, 10))
+        local_prob = np.zeros(n_det)
+        local_valid = np.zeros(n_det, bool)
+
+        # ---- fetch the extraction results (async copy started at
+        # dispatch time, pipeline_depth-1 frames ago; usually landed)
         ext_np = None
         if ext_out is not None and isinstance(ext_out, tuple):
             # legacy extractor protocol: three host arrays
@@ -203,28 +254,18 @@ class Tracking:
                 [np.asarray(v10, np.float64).reshape(-1, 10),
                  np.asarray(pr, np.float64).reshape(-1, 1),
                  np.asarray(va, np.float64).reshape(-1, 1)], axis=1)
-        else:
-            pend = self._pending_backend
-            if ext_out is not None and pend is not None:
-                n_ext = int(np.prod(ext_out.shape))
-                flat = np.asarray(jnp.concatenate(
-                    [jnp.reshape(ext_out, (-1,)),
-                     jnp.reshape(pend[0], (-1,))]), np.float64)
-                ext_np = flat[:n_ext].reshape(ext_out.shape)
-                est_prev = flat[n_ext:].reshape(-1, 10)
-            elif ext_out is not None:
-                ext_np = np.asarray(ext_out, np.float64)
-            elif pend is not None:
-                est_prev = np.asarray(pend[0], np.float64)
+        elif ext_out is not None:
+            ext_np = np.asarray(ext_out, np.float64)
+        self.metrics["fetch"].append(time.perf_counter() - tp0)
         if ext_np is not None:
             local_vec10[run] = ext_np[:n_det][run, :10]
             local_prob[run] = ext_np[:n_det][run, 10]
             local_valid[run] = ext_np[:n_det][run, 11] > 0.5
 
-        # drain the previous frame's backend result (computed on-device
-        # during this frame's IO + extraction; fetched above in the same
-        # transfer as the extraction results)
-        self._drain_backend(est_prev)
+        # drain backend results whose async copies have had time to land
+        # (history/outputs only -- the next LM call warm-starts from the
+        # on-device estimate, so nothing downstream blocks on this)
+        self._drain_ready_backends()
 
         # ---- [1.3] data association ----------------------------------
         if with_association:
@@ -280,22 +321,17 @@ class Tracking:
             self._append_obs2d(inst, pose_cw, meas_cal,
                                float(det_mat[i, 6]))
 
-        t1 = time.perf_counter()
+        self._t1 = time.perf_counter()
 
         # ---- [2] initialization (Tracking.cpp:566-638) ----------------
         self._judge_initialization()
 
         # ---- [3] global optimization ----------------------------------
-        t2 = time.perf_counter()
+        self._t2 = time.perf_counter()
         if self.open_optimization and self.state.initialized_instances():
             self._run_backend()
-            if not self.pipelined:
-                self._drain_backend()
-        t3 = time.perf_counter()
-        self.metrics["frontend"].append(t1 - t0)
-        self.metrics["backend"].append(t3 - t2)
-        self.metrics["total"].append(t3 - t0)
-        return True
+        self._t3 = time.perf_counter()
+        self.metrics["host"].append(self._t3 - tp0)
 
     # ------------------------------------------------------------------
     def _check_keyframes(self, associations, pose_wc) -> List[bool]:
@@ -370,7 +406,7 @@ class Tracking:
         # so the whole batch ships to the device as a SINGLE transfer (the
         # tunnel pays ~5 ms fixed latency per host->device upload)
         shapes = {
-            "est0": (O, 10), "objmask": (O,),
+            "est0": (O, 10), "objmask": (O,), "useprev": (O,),
             "p2": (O, M2, 7), "b2": (O, M2, 4), "pr2": (O, M2),
             "m2": (O, M2),
             "p3": (O, M3, 7), "me3": (O, M3, 10), "pr3": (O, M3),
@@ -394,24 +430,33 @@ class Tracking:
         v["me3"][:] = np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32)
         self._b_est0 = v["est0"]
         self._b_objmask = v["objmask"]
+        self._b_useprev = v["useprev"]
         self._b_p2, self._b_b2 = v["p2"], v["b2"]
         self._b_pr2, self._b_m2 = v["pr2"], v["m2"]
         self._b_p3, self._b_me3 = v["p3"], v["me3"]
         self._b_pr3, self._b_m3 = v["pr3"], v["m3"]
         self._b_n2 = np.zeros(O, np.int64)
         self._b_n3 = np.zeros(O, np.int64)
+        # device-side warm-start chaining: est0 of call k equals the
+        # device output of call k-1 for slots already in the previous
+        # batch (bit-identical to draining to host and re-uploading, but
+        # the host never has to block on the estimate transfer)
+        self._est_prev_dev = None
+        self._prev_batch_slots: set = set()
 
         layout = list(self._b_layout)
 
         @jax.jit
-        def _unpack(flat):
+        def _unpack(flat, est_prev):
             out = {}
             for name, off, shp in layout:
                 n = int(np.prod(shp))
                 arr = jax.lax.dynamic_slice(flat, (off,), (n,)).reshape(shp)
                 out[name] = arr
+            est0 = jnp.where(out["useprev"][:, None] > 0.5, est_prev,
+                             out["est0"])
             return ObjectObservations(
-                est0=out["est0"], obj_mask=out["objmask"] > 0.5,
+                est0=est0, obj_mask=out["objmask"] > 0.5,
                 pose2d_cw=out["p2"], bbox2d=out["b2"], prob2d=out["pr2"],
                 mask2d=out["m2"] > 0.5,
                 pose3d_wc=out["p3"], meas3d=out["me3"], prob3d=out["pr3"],
@@ -453,15 +498,28 @@ class Tracking:
     def _build_backend_batch(self) -> ObjectObservations:
         self._slot_to_instance = []
         self._b_objmask[:] = 0.0
+        self._b_useprev[:] = 0.0
+        cur_slots = set()
         for inst in sorted(self.state.initialized_instances()):
             slot = self._slot_of.get(inst)
             if slot is None:
                 continue
-            self._b_est0[slot] = self.state.objects[inst].vec10.astype(
-                np.float32)
+            cur_slots.add(slot)
+            if slot in self._prev_batch_slots \
+                    and self._est_prev_dev is not None:
+                # warm start from the previous LM call's device output --
+                # exactly the value a host drain would have re-uploaded
+                self._b_useprev[slot] = 1.0
+            else:
+                self._b_est0[slot] = self.state.objects[inst].vec10.astype(
+                    np.float32)
             self._b_objmask[slot] = 1.0
             self._slot_to_instance.append((slot, inst))
-        return self._unpack_fn(jnp.asarray(self._b_flat))
+        self._prev_batch_slots = cur_slots
+        est_prev = self._est_prev_dev
+        if est_prev is None:
+            est_prev = jnp.zeros((self.MAX_OBJECTS, 10), jnp.float32)
+        return self._unpack_fn(jnp.asarray(self._b_flat), est_prev)
 
     def enable_distributed(self, mesh=None):
         """Shard the mapping-mode backend over a device mesh.
@@ -493,26 +551,42 @@ class Tracking:
         # counts (RefreshObjectHistory semantics, Tracking.cpp:810-852)
         nobs = {inst: len(self.state.objects[inst].obs2d_bbox)
                 for _, inst in self._slot_to_instance}
-        self._pending_backend = (est, list(self._slot_to_instance), nobs)
+        # next LM call chains from this device array; the host copy (for
+        # history/outputs) starts now and is drained once it has landed
+        self._est_prev_dev = est
+        if hasattr(est, "copy_to_host_async"):
+            try:
+                est.copy_to_host_async()
+            except Exception:
+                pass
+        self._backend_calls += 1
+        self._pending_backends.append(
+            (self._backend_calls, est, list(self._slot_to_instance), nobs))
+        if not self.pipelined:
+            self._drain_ready_backends(all_pending=True)
 
-    def _drain_backend(self, est_np=None):
-        """Apply a pending (pipelined) backend result, if any.
+    def _drain_ready_backends(self, all_pending: bool = False):
+        """Apply pending backend results in dispatch order.
 
-        ``est_np``: optionally the already-fetched estimate array (the
-        frame loop folds it into the extraction fetch).
+        Results are drained once their async host copies have had
+        ``pipeline_depth`` further backend calls of time to land (or all
+        of them, at sync points).
         """
-        if self._pending_backend is None:
-            return
-        est, slot_to_instance, nobs = self._pending_backend
-        self._pending_backend = None
-        est = np.asarray(est, np.float64) if est_np is None else est_np
-        for slot, inst in slot_to_instance:
-            self.state.objects[inst].vec10 = est[slot]
-        self._refresh_history(nobs)
+        while self._pending_backends:
+            age = self._backend_calls - self._pending_backends[0][0]
+            if not all_pending and age < self.pipeline_depth:
+                break
+            _, est, slot_to_instance, nobs = self._pending_backends.popleft()
+            est = np.asarray(est, np.float64)
+            for slot, inst in slot_to_instance:
+                self.state.objects[inst].vec10 = est[slot]
+            self._refresh_history(nobs)
 
     def sync(self):
-        """Drain any in-flight device work (call before reading results)."""
-        self._drain_backend()
+        """Flush the pipeline: process deferred frames in order, drain."""
+        while self._pending_extraction:
+            self._process_frame_obs(*self._pending_extraction.popleft())
+        self._drain_ready_backends(all_pending=True)
 
     # ------------------------------------------------------------------
     @staticmethod
