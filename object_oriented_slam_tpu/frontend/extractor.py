@@ -221,20 +221,22 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
             return None
         from .symmetry import sym_type_of_labels
         D = len(bboxes)
-        # pad the detection axis to the next power of two (<= 8): the
-        # extraction work is linear in the padded count, and most frames
-        # carry far fewer detections than the old fixed 8 slots (the
-        # bundled cabinet sequence has exactly 1), so compiling a handful
-        # of shape variants buys back ~8x device time on sparse frames
+        # pad the detection axis to the next power of two: the extraction
+        # work is linear in the padded count, and most frames carry few
+        # detections (the bundled cabinet sequence has exactly 1), so
+        # compiling a handful of shape variants buys back device time on
+        # sparse frames.  Detections beyond the 32-slot safety cap fall
+        # back to 2D-only observations (tracking masks them invalid).
+        n = min(D, 32)
         pad = 1
-        while pad < min(D, 8):
+        while pad < n:
             pad *= 2
         bb = np.zeros((pad, 4), np.float32)
-        bb[:D] = bboxes[:pad]
+        bb[:n] = bboxes[:n]
         run = np.zeros(pad, bool)
-        run[:D] = True
+        run[:n] = True
         st = np.zeros(pad, np.int32)
-        st[:D] = sym_type_of_labels(labels[:pad])
+        st[:n] = sym_type_of_labels(labels[:n])
         e, p, v, _ = extract_local_ellipsoids(
             jnp.asarray(depth_u16.astype(np.int32)), jnp.asarray(bb),
             jnp.asarray(run), jnp.asarray(pose_wc.astype(np.float32)),

@@ -258,9 +258,13 @@ class Tracking:
             ext_np = np.asarray(ext_out, np.float64)
         self.metrics["fetch"].append(time.perf_counter() - tp0)
         if ext_np is not None:
-            local_vec10[run] = ext_np[:n_det][run, :10]
-            local_prob[run] = ext_np[:n_det][run, 10]
-            local_valid[run] = ext_np[:n_det][run, 11] > 0.5
+            # the extractor may return fewer rows than detections (its
+            # detection-axis capacity); the overflow keeps 2D-only obs
+            n_rows = min(n_det, ext_np.shape[0])
+            r = run[:n_rows]
+            local_vec10[:n_rows][r] = ext_np[:n_rows][r, :10]
+            local_prob[:n_rows][r] = ext_np[:n_rows][r, 10]
+            local_valid[:n_rows][r] = ext_np[:n_rows][r, 11] > 0.5
 
         # drain backend results whose async copies have had time to land
         # (history/outputs only -- the next LM call warm-starts from the

@@ -71,3 +71,38 @@ def test_many_object_2d_pipeline():
     errs = np.asarray(errs)
     # SVD init + projection-only LM recovers centers to decimeter level
     assert np.median(errs) < 0.25, errs
+
+
+def test_depth_pipeline_over_extractor_capacity():
+    """Frames with more detections than the extractor's detection-axis
+    capacity must not crash: the overflow detections keep their 2D
+    observations (tracking masks their extraction invalid)."""
+    from object_oriented_slam_tpu.frontend import (ExtractorConfig,
+                                                   make_extractor,
+                                                   make_plane_estimator)
+    scene = make_scene(n_objects=12, seed=5, camera=CAM)
+    ds = SyntheticDataset(scene, n_frames=6, orbit_radius=3.6, height=1.8)
+    frames = list(ds.frames())
+    max_det = max(f[5].shape[0] for f in frames)
+    assert max_det > 1
+    slam = System(YAML,
+                  extractor=make_extractor(CAM, ExtractorConfig(
+                      cluster_min_size=30, cloud_capacity=2048)),
+                  plane_estimator=make_plane_estimator(CAM))
+    slam.open_ground_plane_estimation()
+    # force the tiny 2-slot capacity path so n_det > capacity is exercised
+    # on every multi-detection frame regardless of scene visibility
+    import object_oriented_slam_tpu.frontend.extractor as ext_mod
+    orig = slam.tracker.extractor
+
+    def capped(depth_u16, bboxes, labels, pose_wc, ground_plane):
+        return orig(depth_u16[:, :], bboxes[:2], labels[:2], pose_wc,
+                    ground_plane)
+
+    slam.tracker.extractor = capped
+    for i, ts, pose, depth, rgb, det in frames:
+        slam.track_with_objects(ts, pose, det, depth=depth)
+    slam.tracker.sync()
+    # every observed instance still accumulated 2D observations
+    recs = slam.tracker.state.objects
+    assert any(len(r.obs2d_bbox) > 0 for r in recs.values())
