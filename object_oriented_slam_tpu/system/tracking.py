@@ -113,6 +113,12 @@ class Tracking:
 
         self._opt_fn = jax.jit(optimize_objects, static_argnames=("cfg",))
         self._mesh = None  # set by enable_distributed
+        # host-side incremental SVD init: O(1) Gram update per observation,
+        # one 10x10 eigh per attempt, no device round trip (the jitted
+        # batch initializer stays available behind the flag)
+        from ..init.svd_incremental import IncrementalQuadricInit
+        self.use_incremental_init = True
+        self._inc_init = IncrementalQuadricInit(self.K, self.rows, self.cols)
         # Cross-frame pipelining.  Two independent mechanisms, both
         # preserving the reference's strict per-frame processing order
         # (obs -> init -> backend per frame, Tracking.cpp:170-204) and
@@ -324,6 +330,8 @@ class Tracking:
                 rec.label = int(det_mat[i, 5])
             self._append_obs2d(inst, pose_cw, meas_cal,
                                float(det_mat[i, 6]))
+            if self.use_incremental_init and not rec.initialized:
+                self._inc_init.add_observation(inst, pose_wc, meas_cal)
 
         self._t1 = time.perf_counter()
 
@@ -366,6 +374,13 @@ class Tracking:
         for inst, rec in self.state.objects.items():
             if rec.initialized or len(rec.obs2d_bbox) < self.min_init_frames:
                 continue
+            if self.use_incremental_init:
+                vec10 = self._inc_init.try_init(inst)
+                if vec10 is not None:
+                    rec.vec10 = vec10
+                    rec.initialized = True
+                    self._inc_init.drop(inst)
+                continue
             M = len(rec.obs2d_bbox)
             # pad to the next power of two so the jitted initializer compiles
             # only O(log M) distinct shapes over a whole run
@@ -396,6 +411,7 @@ class Tracking:
                 rec.vec10 = np.concatenate([world_pose, local[7:]])
                 rec.initialized = True
                 rec.init_by_3d = True
+                self._inc_init.drop(inst)
 
     # ------------------------------------------------------------------
     # Incremental backend buffers: observations are written in place into

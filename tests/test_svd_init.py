@@ -131,3 +131,34 @@ def test_vmapped_over_candidates():
     assert bool(res.ok[0]) and bool(res.ok[1])
     for i, gt in enumerate(gts):
         assert np.allclose(np.asarray(res.ellipsoid[i][:3]), gt[:3], atol=0.05)
+
+
+def test_incremental_matches_batch():
+    """Host-side Gram-accumulated init equals the jitted SVD initializer."""
+    from object_oriented_slam_tpu.init.svd_incremental import (
+        IncrementalQuadricInit)
+    gt = np.array([0.4, -0.3, 0.5, 0, 0, 0, 1, 0.45, 0.3, 0.2], np.float32)
+    poses, bboxes = make_observations(gt, n_views=18, noise=0.5)
+    mask = np.ones(len(poses), bool)
+
+    res = init_quadric_svd(jnp.asarray(poses), jnp.asarray(bboxes),
+                           jnp.asarray(mask), jnp.asarray(K), ROWS, COLS)
+    assert bool(res.ok)
+    batch = np.asarray(res.ellipsoid, np.float64)
+
+    inc = IncrementalQuadricInit(K, ROWS, COLS)
+    for p, b in zip(poses, bboxes):
+        inc.add_observation(0, p, b)
+    assert inc.n_planes(0) == int(res.n_planes)
+    v = inc.try_init(0)
+    assert v is not None
+    # same math in f64 host form vs f32 device SVD: centers/scales agree
+    assert np.allclose(v[:3], batch[:3], atol=2e-3), (v[:3], batch[:3])
+    assert np.allclose(np.sort(v[7:]), np.sort(batch[7:]), atol=5e-3)
+    assert np.allclose(v[:3], gt[:3], atol=0.05)
+
+    # under the 9-plane gate nothing initializes
+    inc2 = IncrementalQuadricInit(K, ROWS, COLS)
+    for p, b in zip(poses[:2], bboxes[:2]):
+        inc2.add_observation(0, p, b)
+    assert inc2.try_init(0) is None
