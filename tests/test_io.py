@@ -80,3 +80,42 @@ def test_writers_roundtrip(tmp_path):
     inst, vecs = writers.load_objects(p)
     assert inst == [3, 7]
     assert np.allclose(vecs, vec10s)
+
+
+def test_set_odometry_gt_alignment(tmp_path):
+    """set_odometry aligns the first odometry pose to groundtruth
+    (io.cpp:327-418 calibratePose): a globally offset copy of the GT
+    trajectory must map back onto GT after calibration."""
+    import os
+    cabinet = "/root/reference/Example/dataset/cabinet/"
+    if not os.path.exists(cabinet):
+        import pytest
+        pytest.skip("cabinet dataset unavailable")
+    from object_oriented_slam_tpu.io import TUMDataset
+    from object_oriented_slam_tpu.io.tum import _se3_mul_np
+
+    ds = TUMDataset(cabinet)
+    # global SE3 offset: translation + yawish rotation quaternion
+    off = np.array([0.3, -0.2, 0.5, 0.0, 0.0, 0.247404, 0.968912])
+    lines = []
+    gt_poses = {}
+    for i in range(ds.total):
+        p = ds.pose_for(i)
+        if p is None:
+            continue
+        ts = ds.rgb_stamps[i]
+        gt_poses[i] = p.copy()
+        q = _se3_mul_np(off, p)
+        lines.append(" ".join([ts] + [f"{v:.9f}" for v in q]))
+    odom_file = tmp_path / "odom.txt"
+    odom_file.write_text("\n".join(lines) + "\n")
+
+    assert ds.set_odometry(str(odom_file))
+    for i, gt in list(gt_poses.items())[:10]:
+        p = ds.pose_for(i)
+        assert p is not None
+        # GT file stores 4 decimals; recovery is file-precision bound
+        assert np.allclose(p[:3], gt[:3], atol=1e-3), (p, gt)
+        # quaternion sign-invariant comparison
+        assert min(np.linalg.norm(p[3:] - gt[3:]),
+                   np.linalg.norm(p[3:] + gt[3:])) < 1e-3
