@@ -37,6 +37,20 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--checkpoint", default=None,
                     help="save state checkpoint at the end")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a state checkpoint (skips the "
+                         "frames it already processed)")
+    ap.add_argument("--slam-mode", action="store_true",
+                    help="after the run, jointly refine trajectory + "
+                         "objects (the reference's bSLAM_mode, "
+                         "Optimizer.cpp:126-158) and save "
+                         "trajectory_refined.txt / objects_slam.txt")
+    ap.add_argument("--odo-weight", type=float, default=1.0,
+                    help="odometry sqrt-information for --slam-mode; the "
+                         "reference uses identity information "
+                         "(Optimizer.cpp:153-156), which lets pixel-scale "
+                         "projection residuals dominate -- raise this "
+                         "when the input trajectory is accurate")
     ap.add_argument("--distributed", action="store_true",
                     help="shard the backend BA over all devices "
                          "(multi-host via JAX_COORDINATOR_ADDRESS/"
@@ -103,10 +117,23 @@ def main():
         from object_oriented_slam_tpu.system.dense_builder import DenseBuilder
         builder = DenseBuilder(cam)
 
+    skip = 0
+    if args.resume:
+        from object_oriented_slam_tpu.system.checkpoint import load_state
+        st = load_state(args.resume)
+        slam.tracker.restore_state(st)
+        skip = len(st.frames_ts)
+        print(f"Resumed from {args.resume}: {skip} frames, "
+              f"{len(st.objects)} instances")
+
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
     n = 0
+    n_seen = 0
     for i, ts, pose, depth, rgb, det in ds.frames():
+        n_seen += 1
+        if n_seen <= skip:
+            continue
         slam.track_with_objects(ts, pose, det, depth=depth, rgb=rgb,
                                 with_association=not args.auto_assoc)
         if builder is not None:
@@ -146,6 +173,26 @@ def main():
         from object_oriented_slam_tpu.system.checkpoint import save_state
         save_state(slam.tracker.state, args.checkpoint)
         print(f"Saved checkpoint to {args.checkpoint}")
+
+    if args.slam_mode:
+        from object_oriented_slam_tpu.backend.lm import LMConfig
+        from object_oriented_slam_tpu.io.writers import save_objects
+        from object_oriented_slam_tpu.system.slam_mode import run_slam_mode
+        st = slam.tracker.state
+        poses_ref, obj_ref, chi2 = run_slam_mode(
+            st, slam.tracker.K, LMConfig(iters=10),
+            max_frames=min(max(len(st.frames_ts), 8), 256),
+            odo_weight=args.odo_weight)
+        with open(os.path.join(args.out, "trajectory_refined.txt"),
+                  "w") as f:
+            for ts, p in zip(st.frames_ts, poses_ref):
+                f.write(" ".join([f"{ts:.6f}"] + [f"{v:.9f}" for v in p])
+                        + "\n")
+        insts = sorted(obj_ref)
+        save_objects(os.path.join(args.out, "objects_slam.txt"), insts,
+                     np.stack([obj_ref[i] for i in insts]).reshape(-1, 10))
+        print(f"SLAM mode: refined {len(poses_ref)} poses, "
+              f"{len(obj_ref)} objects (chi2 {chi2:.4g})")
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ class InstanceCounter:
         self.next += 1
         return v
 
+    def seed(self, start: int) -> None:
+        """Resume allocation past already-used ids (checkpoint restore)."""
+        self.next = max(self.next, start)
+
 
 def associate_observations(obs_centers_world: np.ndarray,
                            obs_valid: Sequence[bool],

@@ -590,6 +590,38 @@ class Tracking:
             v["pr3"][:, :M3t].ravel(), v["m3"][:, :M3t].ravel()])
         return self._get_unpack(M2t, M3t)(jnp.asarray(flat_t), est_prev)
 
+    def restore_state(self, state: SlamState):
+        """Resume from a checkpointed SlamState (system/checkpoint.py).
+
+        Rebuilds the derived per-run structures the checkpoint does not
+        carry: backend observation buffers (replayed in first-observation
+        order, so slot assignment matches the original run), the
+        incremental-init Gram matrices of uninitialized instances, and
+        the association counter.  Call on a freshly constructed Tracking.
+        """
+        self.state = state
+        self._init_np_buffers()
+
+        def first_frame(rec):
+            f2 = rec.obs2d_frame[0] if rec.obs2d_frame else 1 << 60
+            f3 = rec.obs3d_frame[0] if rec.obs3d_frame else 1 << 60
+            return min(f2, f3)
+
+        for inst in sorted(state.objects,
+                           key=lambda i: (first_frame(state.objects[i]), i)):
+            rec = state.objects[inst]
+            for pose_cw, pose_wc, bbox, prob in zip(
+                    rec.obs2d_pose_cw, rec.obs2d_pose_wc, rec.obs2d_bbox,
+                    rec.obs2d_prob):
+                self._append_obs2d(inst, pose_cw, bbox, prob)
+                if self.use_incremental_init and not rec.initialized:
+                    self._inc_init.add_observation(inst, pose_wc, bbox)
+            for pose_wc, meas, prob in zip(rec.obs3d_pose_wc, rec.obs3d_meas,
+                                           rec.obs3d_prob):
+                self._append_obs3d(inst, pose_wc, meas, prob)
+        if state.objects:
+            self.da_counter.seed(max(state.objects) + 1)
+
     def enable_distributed(self, mesh=None):
         """Shard the mapping-mode backend over a device mesh.
 

@@ -148,3 +148,48 @@ def test_loader_sequential_api():
             break
         n += 1
     assert n == 3
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Checkpoint at frame k, restore into a fresh System, continue: the
+    final map must match an uninterrupted run (Tracking.restore_state)."""
+    import os
+    cabinet = "/root/reference/Example/dataset/cabinet/"
+    if not os.path.exists(cabinet):
+        import pytest
+        pytest.skip("cabinet dataset unavailable")
+    from object_oriented_slam_tpu.io import TUMDataset
+    from object_oriented_slam_tpu.system import System
+
+    yaml = "/root/reference/Example/param/TUM3.yaml"
+    frames = list(TUMDataset(cabinet).frames())
+
+    def run(frame_iter, slam=None):
+        if slam is None:
+            slam = System(yaml)
+        for i, ts, pose, depth, rgb, det in frame_iter:
+            slam.track_with_objects(ts, pose, det)
+        slam.tracker.sync()
+        return slam
+
+    full = run(frames)
+
+    first = run(frames[:30])
+    p = str(tmp_path / "mid.npz")
+    ckpt.save_state(first.tracker.state, p)
+
+    resumed = System(yaml)
+    resumed.tracker.restore_state(ckpt.load_state(p))
+    assert len(resumed.tracker.state.frames_ts) == 30
+    resumed = run(frames[30:], slam=resumed)
+
+    objs_f, objs_r = full.map_objects, resumed.map_objects
+    assert set(objs_r) == set(objs_f)
+    for inst in objs_f:
+        assert np.allclose(objs_r[inst], objs_f[inst], atol=1e-5), \
+            np.abs(objs_r[inst] - objs_f[inst]).max()
+    # histories continue seamlessly
+    hf = full.tracker.state.objects[0].history
+    hr = resumed.tracker.state.objects[0].history
+    assert len(hf) == len(hr)
+    assert np.allclose(np.stack(hf), np.stack(hr), atol=1e-5)
