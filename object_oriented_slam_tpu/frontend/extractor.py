@@ -237,8 +237,10 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
         run[:n] = True
         st = np.zeros(pad, np.int32)
         st[:n] = sym_type_of_labels(labels[:n])
+        # ship the depth in its native dtype (u16 halves the upload; the
+        # jit casts to int32 on device)
         e, p, v, _ = extract_local_ellipsoids(
-            jnp.asarray(depth_u16.astype(np.int32)), jnp.asarray(bb),
+            jnp.asarray(depth_u16), jnp.asarray(bb),
             jnp.asarray(run), jnp.asarray(pose_wc.astype(np.float32)),
             jnp.asarray(ground_plane.astype(np.float32)), cam, cfg,
             sym_types=jnp.asarray(st),
