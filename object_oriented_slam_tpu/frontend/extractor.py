@@ -206,6 +206,29 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
     return e_local, prob, ok, (pts_n, obj_m, Two)
 
 
+@partial(jax.jit, static_argnames=("cam", "cfg", "pad", "need_single",
+                                   "need_dual"))
+def _extract_packed(depth_u16, flat, cam, cfg, pad, need_single, need_dual):
+    """One-upload / one-program frame extraction.
+
+    ``flat`` packs [bboxes(pad,4) | run(pad) | sym_type(pad) | pose_wc(7)
+    | ground_plane(4)] as a single f32 vector so the host issues exactly
+    two transfers per frame (depth + args) and one program; the [pad, 12]
+    (vec10, prob, valid) output packing lives inside the jit too (an
+    eager concatenate would be an extra dispatched program per frame).
+    """
+    bb = flat[:pad * 4].reshape(pad, 4)
+    run = flat[pad * 4:pad * 5] > 0.5
+    st = flat[pad * 5:pad * 6].astype(jnp.int32)
+    pose_wc = flat[pad * 6:pad * 6 + 7]
+    ground_plane = flat[pad * 6 + 7:pad * 6 + 11]
+    e, p, v, _ = extract_local_ellipsoids(
+        depth_u16, bb, run, pose_wc, ground_plane, cam, cfg,
+        sym_types=st, need_single=need_single, need_dual=need_dual)
+    return jnp.concatenate([e, p[:, None], v[:, None].astype(e.dtype)],
+                           axis=1)
+
+
 def make_extractor(cam: Camera, cfg: ExtractorConfig):
     """Adapter for system.Tracking's extractor hook.
 
@@ -231,22 +254,18 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
         pad = 1
         while pad < n:
             pad *= 2
-        bb = np.zeros((pad, 4), np.float32)
-        bb[:n] = bboxes[:n]
-        run = np.zeros(pad, bool)
-        run[:n] = True
-        st = np.zeros(pad, np.int32)
-        st[:n] = sym_type_of_labels(labels[:n])
-        # ship the depth in its native dtype (u16 halves the upload; the
-        # jit casts to int32 on device)
-        e, p, v, _ = extract_local_ellipsoids(
-            jnp.asarray(depth_u16), jnp.asarray(bb),
-            jnp.asarray(run), jnp.asarray(pose_wc.astype(np.float32)),
-            jnp.asarray(ground_plane.astype(np.float32)), cam, cfg,
-            sym_types=jnp.asarray(st),
-            need_single=bool((st == 1).any()),
-            need_dual=bool((st == 2).any()))
-        return jnp.concatenate(
-            [e, p[:, None], v[:, None].astype(e.dtype)], axis=1)
+        st = sym_type_of_labels(labels[:n]).astype(np.int64)
+        flat = np.zeros(pad * 6 + 11, np.float32)
+        if n:
+            flat[:n * 4] = np.asarray(bboxes[:n], np.float32).ravel()
+        flat[pad * 4:pad * 4 + n] = 1.0
+        flat[pad * 5:pad * 5 + n] = st
+        flat[pad * 6:pad * 6 + 7] = pose_wc
+        flat[pad * 6 + 7:] = ground_plane
+        # depth ships in its native dtype (u16 halves the upload; the jit
+        # casts to int32 on device)
+        return _extract_packed(
+            jnp.asarray(depth_u16), jnp.asarray(flat), cam, cfg, pad,
+            bool((st == 1).any()), bool((st == 2).any()))
 
     return extractor
