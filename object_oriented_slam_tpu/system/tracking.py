@@ -111,7 +111,15 @@ class Tracking:
         self.keyframe_check_close = config.get_int(
             "Tracking.KeyFrameCheck.Close") == 1
 
-        self._opt_fn = jax.jit(optimize_objects, static_argnames=("cfg",))
+        # SoA backend: same factor-graph semantics, observation axis in
+        # lanes (backend/lm_soa.py) — several times faster per call on TPU
+        # than the AoS layout; agreement to f32 round-off (~1e-4 on the
+        # map, far inside the goldens' 0.05 m tolerance)
+        self.use_soa_backend = True
+        from ..backend import optimize_objects_soa
+        self._opt_fn = jax.jit(
+            optimize_objects_soa if self.use_soa_backend else optimize_objects,
+            static_argnames=("cfg",))
         self._mesh = None  # set by enable_distributed
         # host-side incremental SVD init: O(1) Gram update per observation,
         # one 10x10 eigh per attempt, no device round trip (the jitted
