@@ -371,6 +371,107 @@ def _finite0(x):
 
 
 # ---------------------------------------------------------------------------
+# Reusable shard-local pieces (also used by parallel/dist_lm.py, where each
+# device runs them over its observation shard and psums the H/g blocks)
+# ---------------------------------------------------------------------------
+
+def soa_prepare(pose2d_cw, bbox2d, pose3d_wc, meas3d):
+    """Transpose observation buffers into SoA component tuples.
+
+    Returns (tcw, qcw, b2, invp4, sc4) — everything estimate-independent,
+    including the hoisted 3D-measurement rotations.
+    """
+    p2 = tuple(pose2d_cw[:, :, k] for k in range(7))
+    b2 = tuple(bbox2d[:, :, k] for k in range(4))
+    p3 = tuple(pose3d_wc[:, :, k] for k in range(7))
+    me3 = tuple(meas3d[:, :, k] for k in range(10))
+    tcw = (p2[0], p2[1], p2[2])
+    qcw = (p2[3], p2[4], p2[5], p2[6])
+    invp4, sc4 = _precompute_3d_soa(p3, me3)
+    return tcw, qcw, b2, invp4, sc4
+
+
+def soa_finite2d(est0, tcw, qcw, b2, K):
+    """[O,M2] mask of 2D edges finite at the initial estimate."""
+    e0c = tuple(est0[:, k:k + 1] for k in range(10))
+    r2 = _proj_residual_soa(e0c, tcw, qcw, b2,
+                            K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    fin = jnp.isfinite(r2[0])
+    for c in r2[1:]:
+        fin = fin & jnp.isfinite(c)
+    return fin
+
+
+def soa_residual_comps(est_flat, u_flat, prep, w2d, w3d, wg, ground_normal,
+                       K, huber_delta=0.0):
+    """All weighted residual components at exp_update(est, u).
+
+    est_flat [O,10], u_flat [O,9] -> tuple of 14 arrays:
+    4x[O,M2] + 9x[O,M3] + 1x[O].  Weights fold masks/probs/gates.
+    """
+    tcw, qcw, b2, invp4, sc4 = prep
+    normal = (ground_normal[0], ground_normal[1], ground_normal[2])
+    e10 = _exp_update(tuple(est_flat[:, k] for k in range(10)),
+                      tuple(u_flat[:, k] for k in range(9)))
+    eb = tuple(c[:, None] for c in e10)
+    r2 = _proj_residual_soa(eb, tcw, qcw, b2,
+                            K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    r2 = tuple(c * w2d for c in r2)
+    r3 = _res3d_soa(eb, invp4, sc4)
+    r3 = tuple(c * w3d for c in r3)
+    if huber_delta > 0.0:
+        h2 = _huber_w(r2, huber_delta)
+        r2 = tuple(c * h2 for c in r2)
+        h3 = _huber_w(r3, huber_delta)
+        r3 = tuple(c * h3 for c in r3)
+    rg = _gravity_residual_soa(tuple(c[:, 0] for c in eb), normal) * wg
+    return tuple(_finite0(c) for c in (r2 + r3 + (rg,)))
+
+
+def soa_flat_r(comps, O):
+    """Concatenate residual components into [..., O, R]."""
+    lead = comps[0].shape[:-2]
+    parts = [c.reshape(lead + (O, -1)) for c in comps[:-1]]
+    parts.append(comps[-1].reshape(lead + (O, 1)))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def soa_normal_eq(est, prep, w2d, w3d, wg, ground_normal, K, huber_delta=0.0):
+    """(H [O,9,9], g [O,9], r2sum [O]) from these observations.
+
+    One linearize (primal + 9 tangent maps) followed by MXU contractions
+    over the long flat-residual axis.
+    """
+    O = est.shape[0]
+    f32 = est.dtype
+    r_comps, lin = jax.linearize(
+        lambda u: soa_residual_comps(est, u, prep, w2d, w3d, wg,
+                                     ground_normal, K, huber_delta),
+        jnp.zeros((O, 9), f32))
+    basis = jnp.broadcast_to(jnp.eye(9, dtype=f32)[:, None, :], (9, O, 9))
+    J = soa_flat_r(jax.vmap(lin)(basis), O)       # [9, O, R]
+    r = soa_flat_r(r_comps, O)                    # [O, R]
+    H = jnp.einsum("kor,lor->okl", J, J)
+    g = jnp.einsum("kor,or->ok", J, r)
+    return H, g, jnp.sum(r * r, axis=-1)
+
+
+def soa_chi2(est, prep, w2d, w3d, wg, ground_normal, K, huber_delta=0.0):
+    O = est.shape[0]
+    r = soa_flat_r(soa_residual_comps(
+        est, jnp.zeros((O, 9), est.dtype), prep, w2d, w3d, wg,
+        ground_normal, K, huber_delta), O)
+    return jnp.sum(r * r, axis=-1)
+
+
+def soa_exp_update_flat(est, du):
+    """Batched ellipsoid oplus on [O,10] / [O,9] arrays."""
+    return jnp.stack(
+        _exp_update(tuple(est[:, k] for k in range(10)),
+                    tuple(du[:, k] for k in range(9))), axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # The solver
 # ---------------------------------------------------------------------------
 
@@ -382,19 +483,10 @@ def optimize_objects_soa(obs: ObjectObservations, K: jnp.ndarray,
     Returns (estimates [O,10], chi2 [O]).  See module docstring for the
     layout rationale and the (f32 round-off level) numeric caveat.
     """
-    O, M2 = obs.mask2d.shape
-    M3 = obs.mask3d.shape[1]
+    O = obs.mask2d.shape[0]
     f32 = obs.est0.dtype
 
-    # ---- one-time transposes into SoA layout (obs axis last) ----------
-    p2 = tuple(obs.pose2d_cw[:, :, k] for k in range(7))
-    b2 = tuple(obs.bbox2d[:, :, k] for k in range(4))
-    p3 = tuple(obs.pose3d_wc[:, :, k] for k in range(7))
-    me3 = tuple(obs.meas3d[:, :, k] for k in range(10))
-    tcw = (p2[0], p2[1], p2[2])
-    qcw = (p2[3], p2[4], p2[5], p2[6])
-    fx, fy = K[0, 0], K[1, 1]
-    cx, cy = K[0, 2], K[1, 2]
+    prep = soa_prepare(obs.pose2d_cw, obs.bbox2d, obs.pose3d_wc, obs.meas3d)
 
     gravity_active = jnp.logical_and(jnp.asarray(ground_set),
                                      jnp.asarray(cfg.gravity_on))
@@ -409,64 +501,17 @@ def optimize_objects_soa(obs: ObjectObservations, K: jnp.ndarray,
     wg = jnp.where(gravity_active, jnp.float32(cfg.gravity_scale), 0.0)
     wg = jnp.broadcast_to(wg, (O,)).astype(f32)
 
-    e0c = tuple(obs.est0[:, k:k + 1] for k in range(10))  # [O,1] components
-
     # NaN gate at the initial estimate (Optimizer.cpp:234-243)
-    r2_init = _proj_residual_soa(e0c, tcw, qcw, b2, fx, fy, cx, cy)
-    fin = jnp.isfinite(r2_init[0])
-    for c in r2_init[1:]:
-        fin = fin & jnp.isfinite(c)
-    w2d = jnp.where(fin, w2d, 0.0)
+    w2d = jnp.where(soa_finite2d(obs.est0, prep[0], prep[1], prep[2], K),
+                    w2d, 0.0)
 
-    # hoisted estimate-independent 3D-measurement rotations
-    invp4, sc4 = _precompute_3d_soa(p3, me3)
-
-    normal = (ground_normal[0], ground_normal[1], ground_normal[2])
-
-    def residual_comps(est_flat, u_flat):
-        """All weighted residual components at exp_update(est, u).
-
-        est_flat [O,10], u_flat [O,9] -> tuple of 14 arrays:
-        4x[O,M2] + 9x[O,M3] + 1x[O].
-        """
-        e10 = _exp_update(tuple(est_flat[:, k] for k in range(10)),
-                          tuple(u_flat[:, k] for k in range(9)))
-        eb = tuple(c[:, None] for c in e10)
-        r2 = _proj_residual_soa(eb, tcw, qcw, b2, fx, fy, cx, cy)
-        r2 = tuple(c * w2d for c in r2)
-        r3 = _res3d_soa(eb, invp4, sc4)
-        r3 = tuple(c * w3d for c in r3)
-        if cfg.huber_delta > 0.0:
-            h2 = _huber_w(r2, cfg.huber_delta)
-            r2 = tuple(c * h2 for c in r2)
-            h3 = _huber_w(r3, cfg.huber_delta)
-            r3 = tuple(c * h3 for c in r3)
-        rg = _gravity_residual_soa(tuple(c[:, 0] for c in eb), normal) * wg
-        return tuple(_finite0(c) for c in (r2 + r3 + (rg,)))
-
-    def flat_r(comps):
-        """Concatenate components into [..., O, R] (R = 4*M2+9*M3+1)."""
-        lead = comps[0].shape[:-2]
-        parts = [c.reshape(lead + (O, -1)) for c in comps[:-1]]
-        parts.append(comps[-1].reshape(lead + (O, 1)))
-        return jnp.concatenate(parts, axis=-1)
-
-    def chi2_of(est_flat):
-        r = flat_r(residual_comps(est_flat, jnp.zeros((O, 9), f32)))
-        return jnp.sum(r * r, axis=-1)
-
+    hd = cfg.huber_delta
     eye9 = jnp.eye(9, dtype=f32)
-    basis = jnp.broadcast_to(eye9[:, None, :], (9, O, 9))
 
     def step(carry, _):
         est, lam, nu, chi2 = carry
-        r_comps, lin = jax.linearize(
-            lambda u: residual_comps(est, u), jnp.zeros((O, 9), f32))
-        J = flat_r(jax.vmap(lin)(basis))          # [9, O, R]
-        r = flat_r(r_comps)                       # [O, R]
-        H = jnp.einsum("kor,lor->okl", J, J)      # [O, 9, 9]
-        g = jnp.einsum("kor,or->ok", J, r)        # [O, 9]
-
+        H, g, _ = soa_normal_eq(est, prep, w2d, w3d, wg, ground_normal,
+                                K, hd)
         lam0 = jnp.where(lam < 0, _TAU * jnp.max(
             jnp.diagonal(H, axis1=1, axis2=2), axis=1), lam)
         lam0 = jnp.maximum(lam0, 1e-12)
@@ -475,10 +520,9 @@ def optimize_objects_soa(obs: ObjectObservations, K: jnp.ndarray,
         du_ok = jnp.all(jnp.isfinite(du), axis=1, keepdims=True)
         du = jnp.where(du_ok, du, 0.0)
 
-        est_new = jnp.stack(
-            _exp_update(tuple(est[:, k] for k in range(10)),
-                        tuple(du[:, k] for k in range(9))), axis=-1)
-        chi2_new = chi2_of(est_new)
+        est_new = soa_exp_update_flat(est, du)
+        chi2_new = soa_chi2(est_new, prep, w2d, w3d, wg, ground_normal,
+                            K, hd)
         denom = jnp.sum(du * (lam0[:, None] * du - g), axis=1)
         rho = (chi2 - chi2_new) / jnp.where(jnp.abs(denom) > 1e-20,
                                             denom, 1e-20)
@@ -490,7 +534,7 @@ def optimize_objects_soa(obs: ObjectObservations, K: jnp.ndarray,
         chi2_next = jnp.where(accept, chi2_new, chi2)
         return (est_next, lam_next, nu_next, chi2_next), None
 
-    chi2_0 = chi2_of(obs.est0)
+    chi2_0 = soa_chi2(obs.est0, prep, w2d, w3d, wg, ground_normal, K, hd)
     init = (obs.est0, jnp.full((O,), -1.0, f32), jnp.full((O,), 2.0, f32),
             chi2_0)
     (e_fin, _, _, chi2_fin), _ = jax.lax.scan(step, init, None,

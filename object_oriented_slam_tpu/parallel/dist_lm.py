@@ -7,8 +7,11 @@ graph every frame, Optimizer.cpp:106-139) -- is sharded across a
 ``jax.sharding.Mesh``, each device builds the Gauss-Newton normal equations
 for its shard of 2D/3D edges, and the per-landmark 9x9 blocks are reduced
 with ``psum`` over ICI.  The tiny replicated 9x9 solves then apply the same
-LM accept/reject schedule as the single-chip backend (backend/lm.py), so
-single- and multi-chip paths produce identical iterates.
+LM accept/reject schedule as the single-chip backend, so single- and
+multi-chip paths produce the same iterates up to f32 psum-order round-off.
+
+Shard-local math uses the SoA layout of ``backend/lm_soa.py`` (observation
+axis in lanes) — the same 2.4-5x TPU win as the single-chip default.
 
 This is the Schur-complement structure specialized to mapping mode: with
 poses fixed, the reduced system IS the block-diagonal landmark system, so
@@ -25,50 +28,18 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..backend import residuals as res
 from ..backend.lm import LMConfig, ObjectObservations, _TAU
-from ..core import ellipsoid as ell
+from ..backend import lm_soa as soa
 
 AXIS = "obs"
-
-
-def _object_residual(e, p2, b2, w2d, pre3d, w3d, normal, wg, K):
-    r2 = jax.vmap(lambda p, b: res.residual_proj(e, p, K, b))(p2, b2)
-    r3 = jax.vmap(res.residual_3d_pre, in_axes=(None, 0, 0))(
-        e, pre3d[0], pre3d[1])
-    rg = res.residual_gravity(e, normal)
-    r = jnp.concatenate([
-        (r2 * w2d[:, None]).reshape(-1),
-        (r3 * w3d[:, None]).reshape(-1),
-        rg * wg,
-    ])
-    return jnp.where(jnp.isfinite(r), r, 0.0)
-
-
-def _object_normal_eq(e, p2, b2, w2d, pre3d, w3d, normal, wg, K):
-    """Local-shard normal equations for one object.
-
-    Returns (H [9,9], g [9], chi2 scalar) from this device's slice of
-    observations; weights already fold masks/probabilities/gates.
-    """
-    def rfun(u):
-        return _object_residual(ell.exp_update(e, u), p2, b2, w2d, pre3d,
-                                w3d, normal, wg, K)
-
-    z = jnp.zeros(9, e.dtype)
-    r, lin = jax.linearize(rfun, z)
-    J = jax.vmap(lin)(jnp.eye(9, dtype=e.dtype)).T
-    return J.T @ J, J.T @ r, jnp.sum(r * r)
-
-
-def _object_chi2(e, p2, b2, w2d, pre3d, w3d, normal, wg, K):
-    r = _object_residual(e, p2, b2, w2d, pre3d, w3d, normal, wg, K)
-    return jnp.sum(r * r)
 
 
 def _sharded_body(est0, obj_mask, p2, b2, pr2, m2, p3, me3, pr3, m3,
                   K, normal, gravity_active, cfg: LMConfig):
     """Runs on each device over its observation shard (inside shard_map)."""
+    O = est0.shape[0]
+    prep = soa.soa_prepare(p2, b2, p3, me3)
+
     # ---- weights; counts need a global reduction --------------------------
     n2d = jax.lax.psum(jnp.sum(m2, axis=1), AXIS)          # [O]
     gate2d = n2d >= cfg.min_2d_obs
@@ -79,32 +50,24 @@ def _sharded_body(est0, obj_mask, p2, b2, pr2, m2, p3, me3, pr3, m3,
 
     # gravity edge lives on shard 0 only (exactly one edge per object)
     on_shard0 = jax.lax.axis_index(AXIS) == 0
-    wg_scalar = jnp.where(gravity_active & on_shard0,
-                          jnp.float32(cfg.gravity_scale), 0.0)
-    wg = wg_scalar[None]
+    wg = jnp.broadcast_to(jnp.where(gravity_active & on_shard0,
+                                    jnp.float32(cfg.gravity_scale), 0.0),
+                          (O,)).astype(est0.dtype)
 
     # ---- NaN gate at initial estimates (Optimizer.cpp:234-243) ------------
-    def nan_gate(e, p2o, b2o):
-        r2 = jax.vmap(lambda p, b: res.residual_proj(e, p, K, b))(p2o, b2o)
-        return jnp.all(jnp.isfinite(r2), axis=1)
-    finite2d = jax.vmap(nan_gate)(est0, p2, b2)
-    w2d = jnp.where(finite2d, w2d, 0.0)
+    w2d = jnp.where(soa.soa_finite2d(est0, prep[0], prep[1], prep[2], K),
+                    w2d, 0.0)
 
-    # hoist estimate-independent 3D-measurement work (per shard)
-    pre3d = jax.vmap(jax.vmap(res.precompute_3d_measurement))(p3, me3)
-
-    normal_eq = jax.vmap(lambda e, a, bb, c, d0, d1, f: _object_normal_eq(
-        e, a, bb, c, (d0, d1), f, normal, wg, K))
-    chi2_fn = jax.vmap(lambda e, a, bb, c, d0, d1, f: _object_chi2(
-        e, a, bb, c, (d0, d1), f, normal, wg, K))
+    hd = cfg.huber_delta
 
     def global_chi2(est):
         return jax.lax.psum(
-            chi2_fn(est, p2, b2, w2d, pre3d[0], pre3d[1], w3d), AXIS)
+            soa.soa_chi2(est, prep, w2d, w3d, wg, normal, K, hd), AXIS)
 
     def step(carry, _):
         est, lam, nu, chi2 = carry
-        H_l, g_l, _ = normal_eq(est, p2, b2, w2d, pre3d[0], pre3d[1], w3d)
+        H_l, g_l, _ = soa.soa_normal_eq(est, prep, w2d, w3d, wg, normal,
+                                        K, hd)
         H = jax.lax.psum(H_l, AXIS)                      # [O, 9, 9]
         g = jax.lax.psum(g_l, AXIS)                      # [O, 9]
 
@@ -118,7 +81,7 @@ def _sharded_body(est0, obj_mask, p2, b2, pr2, m2, p3, me3, pr3, m3,
         du = jnp.where(jnp.all(jnp.isfinite(du), axis=1, keepdims=True),
                        du, 0.0)
 
-        est_new = jax.vmap(ell.exp_update)(est, du)
+        est_new = soa.soa_exp_update_flat(est, du)
         chi2_new = global_chi2(est_new)
 
         denom = jnp.einsum("oi,oi->o", du, lam0[:, None] * du - g)
