@@ -51,7 +51,9 @@ class ExtractorConfig:
     sym_grid: float = 0.1                   # EllipsoidExtraction.Symmetry.GridSize
     cloud_capacity: int = 8192              # post-voxel budget
     sym_capacity: int = 512                 # post-0.1-downsample budget
-    cluster_iters: int = 6
+    cluster_iters: int = 16   # propagation rounds are ~free on the packed
+                              # adjacency (ops/cluster.py), so the bound
+                              # affords full convergence
     open_symmetry: bool = False
 
 
