@@ -245,6 +245,131 @@ def build_normal_equations(poses, objects, g: SlamGraph, K_mat, normal):
     return Hpp, bp, Hoo, bo, U
 
 
+def build_normal_equations_banded(poses, objects, g: SlamGraph, K_mat,
+                                  normal):
+    """Banded assembly: (D [F,6,6], B [F,6,6], bp, Hoo, bo, U [F,K,6,9]).
+
+    The pose Hessian of this factor graph is block-TRIDIAGONAL:
+    projection/3D edges touch one pose each (diagonal blocks only) and the
+    odometry edges form a chain (Optimizer.cpp:142-158; build_slam_graph
+    emits odo_j == odo_i + 1), so Hpp = tridiag(D, B) with B[f] the
+    (f, f+1) coupling block (B[F-1] unused).  This replaces the dense
+    [F,6,F,6] of ``build_normal_equations`` — O(F) memory instead of
+    O(F^2), and the downstream Schur solve never materializes S.
+
+    Precondition: active odometry edges satisfy odo_j == odo_i + 1
+    (loop-closure edges would need a general sparse layout).
+    """
+    F = poses.shape[0]
+    K = objects.shape[0]
+    r2, Jp2, Jo2 = _edge_terms_2d(poses, objects, g, K_mat)
+    r3, Jp3, Jo3 = _edge_terms_3d(poses, objects, g)
+    ro, Ji, Jj = _edge_terms_odo(poses, g)
+    rg, Jg = _edge_terms_grav(objects, g, normal)
+
+    def seg_blk(J, r, idx):
+        Hblk = jnp.einsum("eai,eaj->eij", J, J)
+        gblk = jnp.einsum("eai,ea->ei", J, r)
+        return (jax.ops.segment_sum(Hblk, idx, num_segments=F),
+                jax.ops.segment_sum(gblk, idx, num_segments=F))
+
+    D = jnp.zeros((F, 6, 6))
+    bp = jnp.zeros((F, 6))
+    for J, r, idx in ((Jp2, r2, g.e2_frame), (Jp3, r3, g.e3_frame),
+                      (Ji, ro, g.odo_i), (Jj, ro, g.odo_j)):
+        Hd, gd = seg_blk(J, r, idx)
+        D = D + Hd
+        bp = bp + gd
+
+    # off-diagonal (i, i+1) blocks, keyed by the left frame
+    Hij = jnp.einsum("eai,eaj->eij", Ji, Jj)
+    B = jax.ops.segment_sum(Hij, g.odo_i, num_segments=F)
+
+    Hoo = (jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", Jo2, Jo2),
+                               g.e2_obj, num_segments=K)
+           + jax.ops.segment_sum(jnp.einsum("eai,eaj->eij", Jo3, Jo3),
+                                 g.e3_obj, num_segments=K)
+           + jnp.einsum("kai,kaj->kij", Jg, Jg))
+    bo = (jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jo2, r2),
+                              g.e2_obj, num_segments=K)
+          + jax.ops.segment_sum(jnp.einsum("eai,ea->ei", Jo3, r3),
+                                g.e3_obj, num_segments=K)
+          + jnp.einsum("kai,ka->ki", Jg, rg))
+
+    U2 = jnp.einsum("eai,eaj->eij", Jp2, Jo2)
+    U3 = jnp.einsum("eai,eaj->eij", Jp3, Jo3)
+    U = (jax.ops.segment_sum(U2, g.e2_frame * K + g.e2_obj,
+                             num_segments=F * K)
+         + jax.ops.segment_sum(U3, g.e3_frame * K + g.e3_obj,
+                               num_segments=F * K)).reshape(F, K, 6, 9)
+    return D, B, bp, Hoo, bo, U
+
+
+def _tridiag_matvec(D, B, x):
+    """y[f] = D[f] x[f] + B[f] x[f+1] + B[f-1]^T x[f-1]."""
+    y = jnp.einsum("fij,fj->fi", D, x)
+    x_next = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])])
+    y = y + jnp.einsum("fij,fj->fi", B, x_next)
+    up = jnp.einsum("fij,fi->fj", B, x)              # B[f]^T x[f] -> row f+1
+    return y + jnp.concatenate([jnp.zeros_like(up[:1]), up[:-1]])
+
+
+def solve_schur_step_banded(D, B, bp, Hoo, bo, U, lam, free_frame,
+                            free_obj, cg_iters: int):
+    """Damped Schur solve on the banded + low-rank reduced system.
+
+    S = tridiag(D_d, B_d) - UM U^T is never materialized: the PCG matvec
+    is the banded part (O(F)) plus the rank-9K correction
+    UM (U^T x) (O(F K)), so the whole solve is O(F K) per iteration
+    instead of solve_schur_step's O(F^2 K) assembly + O(F^2) matvec.
+    Same damping, gauge, preconditioner, and iteration semantics.
+    """
+    diag_pp = jnp.einsum("fii->fi", D)
+    diag_oo = jnp.einsum("kii->ki", Hoo)
+    maxdiag = jnp.maximum(jnp.max(jnp.abs(diag_pp)),
+                          jnp.max(jnp.abs(diag_oo)))
+    lam0 = jnp.where(lam < 0, _TAU * maxdiag, lam)
+    lam0 = jnp.maximum(lam0, 1e-12)
+
+    eye6 = jnp.eye(6)
+    eye9 = jnp.eye(9)
+    fm = free_frame.astype(D.dtype)
+    om = free_obj.astype(Hoo.dtype)
+    fm_next = jnp.concatenate([fm[1:], jnp.zeros_like(fm[:1])])
+
+    D_d = D + lam0 * eye6[None]
+    D_d = (D_d * fm[:, None, None]
+           + eye6[None] * (1.0 - fm)[:, None, None])
+    B_d = B * (fm * fm_next)[:, None, None]
+    bp_m = bp * fm[:, None]
+    Hoo_d = Hoo + lam0 * eye9[None]
+    Hoo_d = (Hoo_d * om[:, None, None]
+             + eye9[None] * (1.0 - om)[:, None, None])
+    bo_m = bo * om[:, None]
+    U_m = U * fm[:, None, None, None] * om[None, :, None, None]
+
+    Minv = jax.vmap(_inv9)(Hoo_d)                    # [K,9,9]
+    UM = jnp.einsum("fkab,kbc->fkac", U_m, Minv)     # [F,K,6,9]
+    rhs = -bp_m + jnp.einsum("fkac,kc->fa", UM, bo_m)
+
+    Sdiag = D_d - jnp.einsum("fkac,fkdc->fad", UM, U_m)
+    Pinv = jax.vmap(_inv6)(Sdiag)
+
+    def matvec(x):
+        t = jnp.einsum("gkdc,gd->kc", U_m, x)        # U^T x  [K,9]
+        return _tridiag_matvec(D_d, B_d, x) - jnp.einsum(
+            "fkac,kc->fa", UM, t)
+
+    dx_p = _pcg(matvec, rhs, Pinv, cg_iters)
+
+    rhs_o = bo_m + jnp.einsum("fkac,fa->kc", U_m, dx_p)
+    dx_o = -jnp.einsum("kbc,kc->kb", Minv, rhs_o)
+
+    dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0) * fm[:, None]
+    dx_o = jnp.where(jnp.isfinite(dx_o), dx_o, 0.0) * om[:, None]
+    return dx_p, dx_o, lam0
+
+
 def solve_schur_step(Hpp, bp, Hoo, bo, U, lam, free_frame, free_obj,
                      cg_iters: int):
     """One damped Schur-complement solve from assembled normal equations.
@@ -309,10 +434,15 @@ def apply_updates(poses, objects, dx_p, dx_o):
 
 
 def optimize_slam(g: SlamGraph, K_mat, normal, cfg: LMConfig = LMConfig(),
-                  cg_iters: int = 64):
+                  cg_iters: int = 64, banded: bool = False):
     """Joint pose+landmark LM with Schur-complement reduced solves.
 
-    Returns (poses_cw [F,7], objects [K,10], chi2 scalar).
+    ``banded=True`` uses the block-tridiagonal + low-rank formulation
+    (build_normal_equations_banded / solve_schur_step_banded): O(F K)
+    per LM iteration instead of O(F^2 K), same semantics — requires the
+    odometry edges to form a chain (odo_j == odo_i + 1), which
+    build_slam_graph guarantees.  Returns (poses_cw [F,7],
+    objects [K,10], chi2 scalar).
     """
     F = g.poses_cw.shape[0]
 
@@ -322,10 +452,17 @@ def optimize_slam(g: SlamGraph, K_mat, normal, cfg: LMConfig = LMConfig(),
 
     def step(carry, _):
         poses, objects, lam, nu, chi2 = carry
-        Hpp, bp, Hoo, bo, U = build_normal_equations(poses, objects, g,
-                                                     K_mat, normal)
-        dx_p, dx_o, lam0 = solve_schur_step(Hpp, bp, Hoo, bo, U, lam,
-                                            free_frame, free_obj, cg_iters)
+        if banded:
+            D, Bb, bp, Hoo, bo, U = build_normal_equations_banded(
+                poses, objects, g, K_mat, normal)
+            dx_p, dx_o, lam0 = solve_schur_step_banded(
+                D, Bb, bp, Hoo, bo, U, lam, free_frame, free_obj, cg_iters)
+        else:
+            Hpp, bp, Hoo, bo, U = build_normal_equations(poses, objects, g,
+                                                         K_mat, normal)
+            dx_p, dx_o, lam0 = solve_schur_step(Hpp, bp, Hoo, bo, U, lam,
+                                                free_frame, free_obj,
+                                                cg_iters)
         poses_new, objects_new = apply_updates(poses, objects, dx_p, dx_o)
         chi2_new = _chi2(poses_new, objects_new, g, K_mat, normal)
 

@@ -216,9 +216,125 @@ def solve_schur_framesharded(Hpp, bp, Hoo, bo, U, lam, free_frame,
         Hpp, bp, fm, Hoo, bo, U, lam, fm, om)
 
 
+def solve_schur_framesharded_banded(D, B, bp, Hoo, bo, U, lam, free_frame,
+                                    free_obj, cg_iters: int, mesh: Mesh):
+    """Frame-sharded banded + low-rank Schur solve (the DCN-aware path).
+
+    The pose Hessian is block-tridiagonal (odometry chain) plus the
+    rank-9K landmark coupling, so the PCG matvec needs only (a) one-row
+    halo exchanges with the two neighbouring frame shards (``ppermute``
+    of a [6]-vector each way — on a multi-host mesh with contiguous
+    frame blocks per host, exactly one such pair crosses each DCN
+    boundary) and (b) a [K,9] ``psum`` for the low-rank term.
+    Per-iteration cross-device traffic is O(K) — independent of F —
+    versus the dense path's [F,6] ``all_gather``.  U, D, B, bp are
+    frame-sharded; no O(F^2) object is ever built.
+
+    Requires bp.shape[0] % mesh.shape[AXIS] == 0 (pad_graph_frames).
+    Returns (dx_p [F,6] sharded, dx_o [K,9], lam0).
+    """
+    from ..backend.lm import _TAU
+
+    F = bp.shape[0]
+    n_dev = mesh.shape[AXIS]
+    assert F % n_dev == 0, (F, n_dev)
+    eye6 = jnp.eye(6)
+    eye9 = jnp.eye(9)
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]     # to next shard
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]     # to previous shard
+
+    def send_first_back(x_l):
+        """Receive the next shard's first row (zeros on the last shard)."""
+        return jax.lax.ppermute(x_l[0], AXIS, bwd)
+
+    def send_last_fwd(x_l):
+        """Receive the previous shard's last row (zeros on shard 0)."""
+        return jax.lax.ppermute(x_l[-1], AXIS, fwd)
+
+    def body(D_l, B_l, bp_l, fm_l, U_l, Hoo, bo, lam, om):
+        diag_pp = jnp.einsum("fii->fi", D_l)
+        diag_oo = jnp.einsum("kii->ki", Hoo)
+        maxdiag = jnp.maximum(jax.lax.pmax(jnp.max(jnp.abs(diag_pp)), AXIS),
+                              jnp.max(jnp.abs(diag_oo)))
+        lam0 = jnp.where(lam < 0, _TAU * maxdiag, lam)
+        lam0 = jnp.maximum(lam0, 1e-12)
+
+        # damping + gauge (fixed frames -> identity rows), local blocks
+        D_d = D_l + lam0 * eye6[None]
+        D_d = (D_d * fm_l[:, None, None]
+               + eye6[None] * (1.0 - fm_l)[:, None, None])
+        fm_next = jnp.concatenate([fm_l[1:], send_first_back(fm_l)[None]])
+        B_d = B_l * (fm_l * fm_next)[:, None, None]
+        bp_m = bp_l * fm_l[:, None]
+        Hoo_d = Hoo + lam0 * eye9[None]
+        Hoo_d = (Hoo_d * om[:, None, None]
+                 + eye9[None] * (1.0 - om)[:, None, None])
+        bo_m = bo * om[:, None]
+        U_ml = U_l * fm_l[:, None, None, None] * om[None, :, None, None]
+
+        Minv = jax.vmap(sb._inv9)(Hoo_d)             # [K,9,9] replicated
+        UM_l = jnp.einsum("fkab,kbc->fkac", U_ml, Minv)
+        rhs_l = -bp_m + jnp.einsum("fkac,kc->fa", UM_l, bo_m)
+
+        Sdiag = D_d - jnp.einsum("fkac,fkdc->fad", UM_l, U_ml)
+        Pinv = jax.vmap(sb._inv6)(Sdiag)
+
+        def matvec(x_l):
+            t = jax.lax.psum(jnp.einsum("gkdc,gd->kc", U_ml, x_l), AXIS)
+            y = jnp.einsum("fij,fj->fi", D_d, x_l)
+            x_next = jnp.concatenate([x_l[1:], send_first_back(x_l)[None]])
+            y = y + jnp.einsum("fij,fj->fi", B_d, x_next)
+            up = jnp.einsum("fij,fi->fj", B_d, x_l)  # B[f]^T x[f] -> f+1
+            y = y + jnp.concatenate([send_last_fwd(up)[None], up[:-1]])
+            return y - jnp.einsum("fkac,kc->fa", UM_l, t)
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b), AXIS)
+
+        def precond(r):
+            return jnp.einsum("fij,fj->fi", Pinv, r)
+
+        x0 = jnp.zeros_like(rhs_l)
+        z0 = precond(rhs_l)
+
+        def cg_body(carry, _):
+            x, r, z, p, rz = carry
+            Ap = matvec(p)
+            pAp = pdot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) > 1e-20, pAp, 1e-20)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz_new = pdot(r, z)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+            p = z + beta * p
+            return (x, r, z, p, rz_new), None
+
+        (dx_p, _, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, rhs_l, z0, z0, pdot(rhs_l, z0)), None,
+            length=cg_iters)
+
+        rhs_o = bo_m + jax.lax.psum(
+            jnp.einsum("fkac,fa->kc", U_ml, dx_p), AXIS)
+        dx_o = -jnp.einsum("kbc,kc->kb", Minv, rhs_o)
+
+        dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0) * fm_l[:, None]
+        dx_o = jnp.where(jnp.isfinite(dx_o), dx_o, 0.0) * om[:, None]
+        return dx_p, dx_o, lam0
+
+    rep = P()
+    sh = P(AXIS)
+    fm = free_frame.astype(bp.dtype)
+    om = free_obj.astype(bo.dtype)
+    return shard_map(body, mesh=mesh,
+                     in_specs=(sh, sh, sh, sh, sh, rep, rep, rep, rep),
+                     out_specs=(sh, rep, rep))(
+        D, B, bp, fm, U, Hoo, bo, lam, om)
+
+
 def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
                           cfg: LMConfig = LMConfig(), cg_iters: int = 64,
-                          shard_solve: bool = False):
+                          shard_solve: bool = False, banded: bool = False):
     """Distributed SLAM-mode BA over an edge-sharded mesh.
 
     Only the O(E) work — per-edge residuals/jacobians and their
@@ -234,6 +350,13 @@ def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
     (``solve_schur_framesharded``): both the O(E) jacobian work and the
     O(F^2 K) reduced-system work then scale with the mesh — the regime
     for long multi-host pose graphs.
+
+    ``banded=True`` switches assembly + solve to the block-tridiagonal +
+    low-rank formulation (O(F K) compute, O(F) memory; requires
+    chain odometry).  Combined with ``shard_solve=True`` this is the
+    DCN-aware path: per-PCG-iteration cross-host traffic is one-row
+    halos + a [K,9] psum instead of an [F,6] all_gather
+    (solve_schur_framesharded_banded).
     """
     n_dev = mesh.shape[AXIS]
     g = pad_graph_edges(g, n_dev)
@@ -244,6 +367,9 @@ def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
     rep = P()
     sh = P(AXIS)
     edge_specs = (sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, rep)
+    build_fn = (sb.build_normal_equations_banded if banded
+                else sb.build_normal_equations)
+    n_parts = 6 if banded else 5
 
     def build_body(poses, objects, e2f, e2o, e2b, e2w, e3f, e3o, e3m, e3w,
                    oi, oj, om, ow, gw):
@@ -252,7 +378,7 @@ def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
                         odo_i=oi, odo_j=oj, odo_meas=om, odo_w=ow,
                         grav_w=jnp.where(jax.lax.axis_index(AXIS) == 0,
                                          gw, 0.0))
-        parts = sb.build_normal_equations(poses, objects, gl, K_mat, normal)
+        parts = build_fn(poses, objects, gl, K_mat, normal)
         chi2 = sb._chi2(poses, objects, gl, K_mat, normal)
         return tuple(jax.lax.psum(x, AXIS) for x in (*parts, chi2))
 
@@ -272,7 +398,7 @@ def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
 
     build_sharded = shard_map(build_body, mesh=mesh,
                               in_specs=(rep, rep) + edge_specs,
-                              out_specs=(rep,) * 6)
+                              out_specs=(rep,) * (n_parts + 1))
     chi2_sharded = shard_map(chi2_body, mesh=mesh,
                              in_specs=(rep, rep) + edge_specs,
                              out_specs=rep)
@@ -284,13 +410,24 @@ def optimize_slam_sharded(g: sb.SlamGraph, K_mat, normal, mesh: Mesh,
     def run(poses0, objects0):
         def step(carry, _):
             poses, objects, lam, nu, chi2 = carry
-            Hpp, bp, Hoo, bo, U, _ = build_sharded(poses, objects,
-                                                   *edge_args)
-            if shard_solve:
+            parts = build_sharded(poses, objects, *edge_args)
+            if banded:
+                D, Bb, bp, Hoo, bo, U = parts[:6]
+                if shard_solve:
+                    dx_p, dx_o, lam0 = solve_schur_framesharded_banded(
+                        D, Bb, bp, Hoo, bo, U, lam, free_frame, free_obj,
+                        cg_iters, mesh)
+                else:
+                    dx_p, dx_o, lam0 = sb.solve_schur_step_banded(
+                        D, Bb, bp, Hoo, bo, U, lam, free_frame, free_obj,
+                        cg_iters)
+            elif shard_solve:
+                Hpp, bp, Hoo, bo, U = parts[:5]
                 dx_p, dx_o, lam0 = solve_schur_framesharded(
                     Hpp, bp, Hoo, bo, U, lam, free_frame, free_obj,
                     cg_iters, mesh)
             else:
+                Hpp, bp, Hoo, bo, U = parts[:5]
                 dx_p, dx_o, lam0 = sb.solve_schur_step(
                     Hpp, bp, Hoo, bo, U, lam, free_frame, free_obj,
                     cg_iters)

@@ -129,14 +129,19 @@ def build_slam_graph(state: SlamState, lm_cfg: LMConfig,
 
 
 def run_slam_mode(state: SlamState, K: np.ndarray, lm_cfg: LMConfig,
-                  **kwargs):
+                  banded: bool = True, **kwargs):
     """Joint optimization over the recorded run; returns
-    (poses_wc [F,7] refined, {instance: vec10}, chi2)."""
+    (poses_wc [F,7] refined, {instance: vec10}, chi2).
+
+    ``banded`` (default): the O(F K) block-tridiagonal + low-rank Schur
+    solve — build_slam_graph emits the chain odometry it requires.
+    """
     g, instances = build_slam_graph(state, lm_cfg, **kwargs)
     normal = (state.ground_plane[:3].astype(np.float32)
               if state.ground_plane is not None else np.zeros(3, np.float32))
     poses_cw, objects, chi2 = slam_ba.optimize_slam(
-        g, jnp.asarray(K.astype(np.float32)), jnp.asarray(normal), lm_cfg)
+        g, jnp.asarray(K.astype(np.float32)), jnp.asarray(normal), lm_cfg,
+        banded=banded)
     poses_cw = np.asarray(poses_cw, np.float64)
     F = int(np.asarray(g.frame_mask).sum())
     poses_wc = np.stack([_np_se3_inv(p) for p in poses_cw[:F]])
