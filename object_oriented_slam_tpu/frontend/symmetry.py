@@ -69,52 +69,66 @@ def _plane_from_params(angle, dis):
                       jnp.zeros_like(angle), -dis])
 
 
-def _nn_dist2(query, ref, r_mask):
-    """Min SQUARED distance from each query point to the masked reference
-    cloud.  query [M,3], ref [S,3] -> [M]; distance-matrix form runs on
-    the MXU.  Squared form (the Gaussian cost only ever uses d^2) avoids
-    a sqrt whose derivative blows up at d=0 — points lying exactly on the
-    candidate plane mirror onto themselves — keeping the cost safe for
-    ``jax.grad`` (SymmetryConfig.analytic_grad)."""
-    d2 = (jnp.sum(query * query, axis=1)[:, None]
-          + jnp.sum(ref * ref, axis=1)[None, :]
-          - 2.0 * query @ ref.T)
-    d2 = jnp.where(r_mask[None, :], d2, jnp.float32(1e30))
-    return jnp.maximum(jnp.min(d2, axis=1), 0.0)
-
-
-def _mirror_cost(planes, pts, mask, bbox, pose_oc, proj_depth, cam: Camera,
-                 sigma):
+def _mirror_cost(planes, ptsT, ref_nrm, mask, bbox, pose_oc, proj_depth,
+                 cam: Camera, sigma):
     """Cost of a candidate plane set (1 or 2 planes stacked [P,4]).
 
     Mirrors the cloud across each plane, scores all mirrored points with
     the occlusion-aware Gaussian NN model, returns -mean ln P.
+
+    SoA layout: ``ptsT`` is the object cloud coords-first [3, S] and all
+    per-point work runs componentwise on [P*S] lane vectors — a [M, 3]
+    layout would tile-pad the 3-wide trailing dim to 128 lanes (~40x
+    bandwidth waste) in every op of this innermost LM chain.  The NN
+    min uses the same norm-expansion distance matrix (MXU) as before;
+    its squared form avoids a sqrt whose derivative blows up at d=0
+    (points on the candidate plane mirror onto themselves), keeping the
+    cost safe for ``jax.grad`` (SymmetryConfig.analytic_grad).
     """
-    P_, S = planes.shape[0], pts.shape[0]
-    mirrored = jax.vmap(lambda p: pl.mirror_points(p, pts))(planes)
-    mirrored = mirrored.reshape(P_ * S, 3)
-    m_mask = jnp.tile(mask, (P_,))
+    x, y, z = ptsT[0], ptsT[1], ptsT[2]
+    mxs, mys, mzs = [], [], []
+    for k in range(planes.shape[0]):
+        p = planes[k]
+        n0, n1, n2c, d = p[0], p[1], p[2], p[3]
+        n2sum = jnp.maximum(n0 * n0 + n1 * n1 + n2c * n2c, 1e-8)
+        s = (n0 * x + n1 * y + n2c * z + d) / n2sum
+        mxs.append(x - 2.0 * s * n0)
+        mys.append(y - 2.0 * s * n1)
+        mzs.append(z - 2.0 * s * n2c)
+    mx = jnp.concatenate(mxs)
+    my = jnp.concatenate(mys)
+    mz = jnp.concatenate(mzs)
+    m_mask = jnp.tile(mask, (planes.shape[0],))
 
     # project into the image: T_c<-o = inv(pose_oc)
     Tco = se3.se3_inv(pose_oc)
     R = se3.quat_to_mat(Tco[3:])
-    pc = mirrored @ R.T + Tco[:3]
-    u = cam.fx * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-6) + cam.cx
-    v = cam.fy * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-6) + cam.cy
+    pcx = R[0, 0] * mx + R[0, 1] * my + R[0, 2] * mz + Tco[0]
+    pcy = R[1, 0] * mx + R[1, 1] * my + R[1, 2] * mz + Tco[1]
+    pcz = R[2, 0] * mx + R[2, 1] * my + R[2, 2] * mz + Tco[2]
+    u = cam.fx * pcx / jnp.maximum(pcz, 1e-6) + cam.cx
+    v = cam.fy * pcy / jnp.maximum(pcz, 1e-6) + cam.cy
     xi = u.astype(jnp.int32)
     yi = v.astype(jnp.int32)
     H, W = proj_depth.shape
-    inside_img = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (pc[:, 2] > 0)
+    inside_img = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (pcz > 0)
     in_bbox = ((bbox[0] < xi) & (xi < bbox[2]) & (bbox[1] < yi)
                & (yi < bbox[3]) & inside_img)
 
     d_meas = proj_depth[jnp.clip(yi, 0, H - 1),
                         jnp.clip(xi, 0, W - 1)] / cam.scale
-    cam_c = pose_oc[:3]  # camera center in the normalized frame
-    dis_cam = jnp.linalg.norm(mirrored - cam_c, axis=1)
+    cx0, cy0, cz0 = pose_oc[0], pose_oc[1], pose_oc[2]  # camera center
+    dis_cam = jnp.sqrt((mx - cx0) ** 2 + (my - cy0) ** 2 + (mz - cz0) ** 2)
     occluded = in_bbox & ((d_meas <= 1e-9) | (dis_cam > d_meas))
 
-    nn2 = _nn_dist2(mirrored, pts, mask)
+    # min squared distance to the masked reference cloud (MXU matmul)
+    q_nrm = mx * mx + my * my + mz * mz
+    cross = jax.lax.dot_general(jnp.stack([mx, my, mz]), ptsT,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    d2m = q_nrm[:, None] + ref_nrm[None, :] - 2.0 * cross
+    d2m = jnp.where(mask[None, :], d2m, jnp.float32(1e30))
+    nn2 = jnp.maximum(jnp.min(d2m, axis=1), 0.0)
     d2 = jnp.where(occluded | ~m_mask, 0.0, nn2)
 
     inv_sig = 1.0 / sigma
@@ -130,8 +144,9 @@ class SymResult(NamedTuple):
     error: jnp.ndarray
 
 
-def _optimize_one_init(init_angle, init_dis, pts, mask, bbox, pose_oc,
-                       proj_depth, cam, cfg: SymmetryConfig, dual: bool):
+def _optimize_one_init(init_angle, init_dis, ptsT, ref_nrm, mask, bbox,
+                       pose_oc, proj_depth, cam, cfg: SymmetryConfig,
+                       dual: bool):
     """5-iteration LM on plane parameters from one initialization."""
     n_par = 3 if dual else 2
 
@@ -144,8 +159,8 @@ def _optimize_one_init(init_angle, init_dis, pts, mask, bbox, pose_oc,
         return p1[None]
 
     def cost(params):
-        return _mirror_cost(planes_of(params), pts, mask, bbox, pose_oc,
-                            proj_depth, cam, cfg.sigma)
+        return _mirror_cost(planes_of(params), ptsT, ref_nrm, mask, bbox,
+                            pose_oc, proj_depth, cam, cfg.sigma)
 
     p0 = jnp.zeros(n_par).at[0].set(init_angle).at[1].set(init_dis)
 
@@ -198,8 +213,11 @@ def estimate_symmetry(pts, mask, bbox, pose_oc, proj_depth, cam: Camera,
     dd, aa = jnp.meshgrid(dis0, ang0)
     dd, aa = dd.reshape(-1), aa.reshape(-1)
 
+    ptsT = pts.T                                  # [3, S] coords-first
+    ref_nrm = jnp.sum(pts * pts, axis=1)
     res = jax.vmap(lambda a, d: _optimize_one_init(
-        a, d, pts, mask, bbox, pose_oc, proj_depth, cam, cfg, dual))(aa, dd)
+        a, d, ptsT, ref_nrm, mask, bbox, pose_oc, proj_depth, cam, cfg,
+        dual))(aa, dd)
     best = jnp.argmax(res.prob)
     return SymResult(plane=res.plane[best], dual_dis=res.dual_dis[best],
                      prob=res.prob[best], error=res.error[best])

@@ -46,11 +46,12 @@ def test_cost_zero_for_true_plane():
     pts, m = pad_cloud(cloud)
     proj_depth = jnp.zeros((480, 640))
     bbox = jnp.asarray(np.array([0.0, 0, 1, 1], np.float32))  # tiny bbox
-    cost_true = sym._mirror_cost(jnp.asarray(pi)[None], pts, m, bbox,
+    nrm = jnp.sum(pts * pts, axis=1)
+    cost_true = sym._mirror_cost(jnp.asarray(pi)[None], pts.T, nrm, m, bbox,
                                  far_camera(), proj_depth, CAM, 0.1)
     cost_off = sym._mirror_cost(
         np.asarray(pl.from_dis_angle(jnp.float32(0.15), jnp.float32(0.4)))[None],
-        pts, m, bbox, far_camera(), proj_depth, CAM, 0.1)
+        pts.T, nrm, m, bbox, far_camera(), proj_depth, CAM, 0.1)
     assert float(cost_true) < 0.05
     assert float(cost_off) > float(cost_true) + 0.1
 
@@ -81,7 +82,8 @@ def test_occluded_points_cost_zero():
     pose_oc = jnp.asarray(np.array([0, 0, -2.0, 0, 0, 0, 1], np.float32))
     cost = sym._mirror_cost(
         np.asarray(pl.from_dis_angle(jnp.float32(0.3), jnp.float32(0.5)))[None],
-        pts, m, bbox, pose_oc, proj_depth, CAM, 0.1)
+        pts.T, jnp.sum(pts * pts, axis=1), m, bbox, pose_oc, proj_depth,
+        CAM, 0.1)
     assert float(cost) < 1e-6
 
 
