@@ -24,7 +24,8 @@ from typing import Callable, Dict, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..assoc import InstanceCounter, associate_observations
+from ..assoc import (InstanceCounter, associate_observations,
+                     associate_observations_optimal)
 from ..backend import LMConfig, ObjectObservations, optimize_objects
 from ..core import camera as cam_mod
 from ..init import init_quadric_svd
@@ -110,6 +111,10 @@ class Tracking:
             "Tracking_MINIMUM_INITIALIZATION_FRAME"))
         self.keyframe_check_close = config.get_int(
             "Tracking.KeyFrameCheck.Close") == 1
+        # opt-in globally-optimal gated assignment (assoc/association.py);
+        # default is the reference's greedy row-wise matching
+        self.use_optimal_assoc = config.get_int(
+            "Tracking.DataAssociation.Optimal") == 1
 
         # SoA backend: same factor-graph semantics, observation axis in
         # lanes (backend/lm_soa.py) — several times faster per call on TPU
@@ -232,12 +237,13 @@ class Tracking:
             self._pending_extraction.append(item)
             if len(self._pending_extraction) >= self.pipeline_depth:
                 self._process_frame_obs(*self._pending_extraction.popleft())
+            # backend time is recorded inside the deferred processing
             t1 = t2 = t3 = time.perf_counter()
         else:
             self._process_frame_obs(*item)
             t1, t2, t3 = self._t1, self._t2, self._t3
+            self.metrics["backend"].append(t3 - t2)
         self.metrics["frontend"].append(t1 - t0)
-        self.metrics["backend"].append(t3 - t2)
         self.metrics["total"].append(t3 - t0)
         return True
 
@@ -298,7 +304,9 @@ class Tracking:
             inst_ids = self.state.initialized_instances()
             map_centers = np.array([self.state.objects[i].vec10[:3]
                                     for i in inst_ids]).reshape(-1, 3)
-            associations = associate_observations(
+            assoc_fn = (associate_observations_optimal
+                        if self.use_optimal_assoc else associate_observations)
+            associations = assoc_fn(
                 centers, local_valid, inst_ids, map_centers, self.da_counter)
 
         # ---- [1.4] key-observation gating (Tracking.cpp:421-475) ------
@@ -352,6 +360,9 @@ class Tracking:
             self._run_backend()
         self._t3 = time.perf_counter()
         self.metrics["host"].append(self._t3 - tp0)
+        if self.pipeline_depth >= 2 and self.extractor is not None:
+            # deferred frame: the grab-side loop recorded only dispatch
+            self.metrics["backend"].append(self._t3 - self._t2)
 
     # ------------------------------------------------------------------
     def _check_keyframes(self, associations, pose_wc) -> List[bool]:

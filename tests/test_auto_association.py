@@ -89,3 +89,67 @@ def test_two_objects_auto_association(tmp_path):
     for g, w in zip(got, want):
         assert np.linalg.norm(np.asarray(g)[:2] - w[:2]) < 0.15, (g, w)
         assert abs(g[2] - w[2]) < r + 0.1
+
+
+# ---------------------------------------------------------------------------
+# Optimal (Hungarian) association upgrade
+# ---------------------------------------------------------------------------
+
+def test_hungarian_matches_bruteforce():
+    from itertools import permutations
+    from object_oriented_slam_tpu.assoc.association import _hungarian
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n = int(rng.integers(1, 5))
+        m = int(rng.integers(n, 7))
+        cost = rng.uniform(0, 10, (n, m))
+        assign = _hungarian(cost)
+        got = cost[np.arange(n), assign].sum()
+        best = min(sum(cost[i, p[i]] for i in range(n))
+                   for p in permutations(range(m), n))
+        assert np.isclose(got, best, atol=1e-9), (cost, assign)
+        assert len(set(assign.tolist())) == n  # one column per row
+
+
+def test_optimal_association_fixes_greedy_steal():
+    from object_oriented_slam_tpu.assoc import (
+        InstanceCounter, associate_observations,
+        associate_observations_optimal)
+    map_inst = [0, 1]
+    map_centers = np.array([[0.0, 0, 0], [1.5, 0, 0]])
+    obs = np.array([[0.4, 0, 0], [0.05, 0, 0]])
+    valid = [True, True]
+    greedy = associate_observations(obs, valid, map_inst, map_centers,
+                                    InstanceCounter(2))
+    opt = associate_observations_optimal(obs, valid, map_inst, map_centers,
+                                         InstanceCounter(2))
+    # greedy row order: obs0 claims object 0, obs1 (the one actually ON
+    # object 0) is forced to a new instance
+    assert greedy == [0, 2]
+    # optimal: obs1 takes object 0, obs0 opens the new track
+    assert opt == [2, 0]
+
+
+def test_optimal_association_agrees_when_unambiguous():
+    from object_oriented_slam_tpu.assoc import (
+        InstanceCounter, associate_observations,
+        associate_observations_optimal)
+    rng = np.random.default_rng(3)
+    map_centers = rng.uniform(-3, 3, (6, 3))
+    map_inst = list(range(6))
+    obs = map_centers[[4, 1, 3]] + rng.normal(0, 0.03, (3, 3))
+    valid = [True, True, True]
+    g = associate_observations(obs, valid, map_inst, map_centers,
+                               InstanceCounter(6))
+    o = associate_observations_optimal(obs, valid, map_inst, map_centers,
+                                       InstanceCounter(6))
+    assert g == o == [4, 1, 3]
+
+
+def test_optimal_association_invalid_and_empty_map():
+    from object_oriented_slam_tpu.assoc import (
+        InstanceCounter, associate_observations_optimal)
+    out = associate_observations_optimal(
+        np.zeros((2, 3)), [False, True], [], np.zeros((0, 3)),
+        InstanceCounter(0))
+    assert out == [-1, 0]
