@@ -76,6 +76,45 @@ def _min_label_pass_mm(pts, nrm, mask, labels, tol2):
     return jnp.where(mask, jnp.minimum(labels, new_labels), labels)
 
 
+def _chain_seed(pts, mask, labels0, tol2):
+    """Cheap label seeding along a spatial sort order.
+
+    Sorts points by a Morton-ish voxel key, links consecutive points that
+    are genuinely within ``tol`` (a SUBSET of the true radius graph, so
+    the final converged components are unchanged), and propagates the
+    running minimum along each linked run with one associative scan —
+    O(N log N), no [B, N] distance pass.  Dense clouds then start the
+    exact min-label rounds mostly pre-merged, cutting global rounds.
+    """
+    N = pts.shape[0]
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    tol = jnp.sqrt(tol2)
+    cell = jnp.floor(jnp.stack([x, y, z], axis=1) / tol).astype(jnp.int32)
+    c = jnp.clip(cell + 512, 0, 1023)
+    key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+    key = jnp.where(mask, key, jnp.int32(2 ** 30))
+    order = jnp.argsort(key)
+    pts_s = pts[order]
+    lab_s = labels0[order]
+    mask_s = mask[order]
+
+    d2prev = jnp.sum((pts_s[1:] - pts_s[:-1]) ** 2, axis=-1)
+    linked = jnp.concatenate([jnp.array([False]),
+                              (d2prev <= tol2) & mask_s[1:] & mask_s[:-1]])
+
+    # segmented running min over linked runs: (value, is_start) pairs
+    def combine(a, b):
+        av, astart = a
+        bv, bstart = b
+        v = jnp.where(bstart, bv, jnp.minimum(av, bv))
+        return v, astart | bstart
+
+    seeded_s, _ = jax.lax.associative_scan(
+        combine, (lab_s, ~linked), axis=0)
+    inv = jnp.argsort(order)
+    return jnp.where(mask, seeded_s[inv], labels0)
+
+
 def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
                          outer_iters: int = 8, jump_iters: int = 12,
                          exact: bool = False):
@@ -90,6 +129,7 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
     tol2 = jnp.float32(tol * tol)
     idx = jnp.arange(N, dtype=jnp.int32)
     labels0 = jnp.where(mask, idx, jnp.int32(N))
+    labels0 = _chain_seed(pts, mask, labels0, tol2)
 
     if not exact:
         # center once (labels are translation-invariant; see module docstring)

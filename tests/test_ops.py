@@ -191,3 +191,44 @@ def test_calibrate_to_normal():
                                                  jnp.asarray(normal)))
     assert np.allclose(out[:, 2], normal, atol=1e-5)
     assert abs(np.linalg.det(out) - 1) < 1e-5
+
+
+def test_chain_seed_converges_dense_blob():
+    """Dense-blob topology where plain min-label propagation exceeds any
+    practical round bound: the sorted-chain seeding must still reach the
+    exact components within the extractor's 16-round budget."""
+    from object_oriented_slam_tpu.ops import cluster as cl
+    rng = np.random.default_rng(0)
+    N = 2048
+    pts = np.concatenate([
+        rng.uniform(0, 1.0, (1500, 3)) * [1.0, 0.5, 0.7],
+        rng.normal([2, 0, 0], 0.05, (400, 3)),
+        rng.uniform(-5, 5, (148, 3))]).astype(np.float32)
+    mask = np.ones(N, bool)
+    mask[-40:] = False
+    lab = np.asarray(cl.connected_components(
+        jnp.asarray(pts), jnp.asarray(mask), 0.05, outer_iters=16))
+
+    # exact union-find over the identical centered-expansion adjacency
+    c = pts[mask].mean(0)
+    pc = np.where(mask[:, None], pts - c, 0)
+    nrm = (pc * pc).sum(1)
+    parent = np.arange(N)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    tol2 = np.float32(0.05) * np.float32(0.05)
+    for i in range(N):
+        if not mask[i]:
+            continue
+        d2 = (nrm[i] + nrm - 2 * (pc @ pc[i])).astype(np.float32)
+        for j in np.where((d2 <= tol2) & mask)[0]:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    gt = np.array([find(i) if mask[i] else N for i in range(N)])
+    assert (lab == gt).all()
