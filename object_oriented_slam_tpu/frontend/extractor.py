@@ -231,6 +231,32 @@ def _extract_packed(depth_u16, flat, cam, cfg, pad, need_single, need_dual):
                            axis=1)
 
 
+def _cloud_tier(bboxes, run, rows, cols, cap_max):
+    """Power-of-two cloud capacity covering the frame's largest bbox.
+
+    The post-voxel cloud of a detection can never exceed its strided
+    pixel count, so a capacity >= that bound yields BIT-IDENTICAL
+    results to the full capacity (padding only) while the O(N^2)
+    clustering pass shrinks quadratically for small objects.
+    """
+    import numpy as np
+    n_max = 1
+    for i in range(len(bboxes)):
+        if not run[i]:
+            continue
+        x1 = max(0.0, min(float(bboxes[i][0]), cols - 1))
+        y1 = max(0.0, min(float(bboxes[i][1]), rows - 1))
+        x2 = max(0.0, min(float(bboxes[i][2]), cols))
+        y2 = max(0.0, min(float(bboxes[i][3]), rows))
+        npix = (int(max(0.0, x2 - x1)) // STRIDE + 1) * \
+               (int(max(0.0, y2 - y1)) // STRIDE + 1)
+        n_max = max(n_max, npix)
+    cap = 1024
+    while cap < min(n_max, cap_max):
+        cap *= 2
+    return min(cap, cap_max)
+
+
 def make_extractor(cam: Camera, cfg: ExtractorConfig):
     """Adapter for system.Tracking's extractor hook.
 
@@ -240,6 +266,8 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
     3-array protocol cost more than the extraction itself.
     """
     import numpy as np
+
+    import dataclasses
 
     def extractor(depth_u16, bboxes, labels, pose_wc, ground_plane):
         if ground_plane is None:
@@ -264,10 +292,16 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
         flat[pad * 5:pad * 5 + n] = st
         flat[pad * 6:pad * 6 + 7] = pose_wc
         flat[pad * 6 + 7:] = ground_plane
+        # cloud-capacity tier from the frame's largest bbox (exact: the
+        # tier always covers the strided pixel-count bound)
+        tier = _cloud_tier(bboxes[:n], flat[pad * 4:pad * 4 + n] > 0,
+                           cam.height, cam.width, cfg.cloud_capacity)
+        cfg_t = (cfg if tier == cfg.cloud_capacity
+                 else dataclasses.replace(cfg, cloud_capacity=tier))
         # depth ships in its native dtype (u16 halves the upload; the jit
         # casts to int32 on device)
         return _extract_packed(
-            jnp.asarray(depth_u16), jnp.asarray(flat), cam, cfg, pad,
+            jnp.asarray(depth_u16), jnp.asarray(flat), cam, cfg_t, pad,
             bool((st == 1).any()), bool((st == 2).any()))
 
     return extractor
