@@ -248,8 +248,8 @@ def _cloud_tier(bboxes, run, rows, cols, cap_max):
         y1 = max(0.0, min(float(bboxes[i][1]), rows - 1))
         x2 = max(0.0, min(float(bboxes[i][2]), cols))
         y2 = max(0.0, min(float(bboxes[i][3]), rows))
-        npix = (int(max(0.0, x2 - x1)) // STRIDE + 1) * \
-               (int(max(0.0, y2 - y1)) // STRIDE + 1)
+        npix = (int(max(0.0, x2 - x1)) // bp.STRIDE + 1) * \
+               (int(max(0.0, y2 - y1)) // bp.STRIDE + 1)
         n_max = max(n_max, npix)
     cap = 1024
     while cap < min(n_max, cap_max):
