@@ -76,22 +76,8 @@ def _min_label_pass_mm(pts, nrm, mask, labels, tol2):
     return jnp.where(mask, jnp.minimum(labels, new_labels), labels)
 
 
-def _chain_seed(pts, mask, labels0, tol2):
-    """Cheap label seeding along a spatial sort order.
-
-    Sorts points by a Morton-ish voxel key, links consecutive points that
-    are genuinely within ``tol`` (a SUBSET of the true radius graph, so
-    the final converged components are unchanged), and propagates the
-    running minimum along each linked run with one associative scan —
-    O(N log N), no [B, N] distance pass.  Dense clouds then start the
-    exact min-label rounds mostly pre-merged, cutting global rounds.
-    """
-    N = pts.shape[0]
-    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
-    tol = jnp.sqrt(tol2)
-    cell = jnp.floor(jnp.stack([x, y, z], axis=1) / tol).astype(jnp.int32)
-    c = jnp.clip(cell + 512, 0, 1023)
-    key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+def _chain_seed_one(pts, mask, labels0, tol2, key):
+    """One seeding pass along the sort order of ``key`` (see _chain_seed)."""
     key = jnp.where(mask, key, jnp.int32(2 ** 30))
     order = jnp.argsort(key)
     pts_s = pts[order]
@@ -115,9 +101,35 @@ def _chain_seed(pts, mask, labels0, tol2):
     return jnp.where(mask, seeded_s[inv], labels0)
 
 
+def _chain_seed(pts, mask, labels0, tol2, n_orders: int = 1):
+    """Cheap label seeding along spatial sort orders.
+
+    Sorts points by a Morton-ish voxel key, links consecutive points that
+    are genuinely within ``tol`` (a SUBSET of the true radius graph, so
+    the final converged components are unchanged), and propagates the
+    running minimum along each linked run with one associative scan —
+    O(N log N), no [B, N] distance pass.  Dense clouds then start the
+    exact min-label rounds mostly pre-merged, cutting global rounds.
+    ``n_orders`` > 1 chains additional axis-major key orders (each pass
+    consumes the previous labels, so merges compose); clouds that break
+    into many runs under one axis order often form long runs under
+    another.
+    """
+    tol = jnp.sqrt(tol2)
+    cell = jnp.floor(pts / tol).astype(jnp.int32)
+    c = jnp.clip(cell + 512, 0, 1023)
+    keys = ((c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2],
+            (c[:, 1] << 20) | (c[:, 2] << 10) | c[:, 0],
+            (c[:, 2] << 20) | (c[:, 0] << 10) | c[:, 1])
+    labels = labels0
+    for key in keys[:n_orders]:
+        labels = _chain_seed_one(pts, mask, labels, tol2, key)
+    return labels
+
+
 def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
                          outer_iters: int = 8, jump_iters: int = 12,
-                         exact: bool = False):
+                         exact: bool = False, seed_orders: int = 1):
     """Labels [N]: each point's component id = min point index in component.
 
     Masked-out points get label N (out of range).  Min-label propagation +
@@ -129,7 +141,7 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
     tol2 = jnp.float32(tol * tol)
     idx = jnp.arange(N, dtype=jnp.int32)
     labels0 = jnp.where(mask, idx, jnp.int32(N))
-    labels0 = _chain_seed(pts, mask, labels0, tol2)
+    labels0 = _chain_seed(pts, mask, labels0, tol2, n_orders=seed_orders)
 
     if not exact:
         # center once (labels are translation-invariant; see module docstring)
@@ -204,8 +216,9 @@ def select_cluster(pts: jnp.ndarray, mask: jnp.ndarray, labels: jnp.ndarray,
 
 def euclidean_filter(pts: jnp.ndarray, mask: jnp.ndarray, center: jnp.ndarray,
                      tol: float, min_size: int, center_dis: float,
-                     outer_iters: int = 8, exact: bool = False):
+                     outer_iters: int = 8, exact: bool = False,
+                     seed_orders: int = 1):
     """Full Euclidean-filter stage: cluster + select. Returns (sel_mask, ok)."""
     labels = connected_components(pts, mask, tol, outer_iters=outer_iters,
-                                  exact=exact)
+                                  exact=exact, seed_orders=seed_orders)
     return select_cluster(pts, mask, labels, center, min_size, center_dis)
