@@ -51,19 +51,46 @@ class ExtractorConfig:
     sym_grid: float = 0.1                   # EllipsoidExtraction.Symmetry.GridSize
     cloud_capacity: int = 8192              # post-voxel budget
     sym_capacity: int = 512                 # post-0.1-downsample budget
-    cluster_iters: int = 16   # propagation rounds are ~free on the packed
-                              # adjacency (ops/cluster.py), so the bound
-                              # affords full convergence
+    cluster_iters: int = 16   # convergence bound only: rounds stop early
+                              # once labels settle (ops/cluster.py)
+    grid_cluster: bool = False  # O(N*C) grid-hash clustering — exact and
+                                # asymptotically better, but the remote
+                                # TPU toolchain pathologizes its gathers
+                                # (>30 min Mosaic/XLA compiles, ~200 ms
+                                # steady-state frames vs ~10 ms dense,
+                                # measured 2026-08-20); fast on CPU.
+                                # See BENCH_DETAILS.md "grid clustering".
     open_symmetry: bool = False
+    sparse_symmetry: bool = False  # mirror only depth-border points in the
+                                   # symmetry cost (Symmetry::SetBorders
+                                   # path; inactive in the reference demo)
+
+
+def _grid_clustering_ok(cam: Camera, cfg: ExtractorConfig) -> bool:
+    """Static gate for the O(N*C) grid-hash clustering path: the voxel
+    cells are unique per point by construction, and the largest possible
+    camera-frame cloud span (the depth_range frustum) must fit the key
+    packing."""
+    span = max(cfg.depth_range,
+               cfg.depth_range * cam.width / cam.fx,
+               cfg.depth_range * cam.height / cam.fy)
+    return cfg.grid_cluster and cl.grid_supported(
+        cfg.cluster_tolerance, cfg.voxel_leaf, span)
 
 
 def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
-                 cfg: ExtractorConfig):
-    """One detection -> (local vec10, normalized cloud, Two, valid parts)."""
+                 cfg: ExtractorConfig, border_map=None):
+    """One detection -> (local vec10, normalized cloud, Two, valid parts,
+    symmetry source mask)."""
     # (a) bbox cloud -> voxel -> world
     pts_cam, m0 = bp.bbox_point_cloud(depth, bbox, cam, cfg.depth_range)
-    pts_v, m1 = vx.voxel_downsample(pts_cam, m0, cfg.voxel_leaf,
-                                    cfg.cloud_capacity)
+    if border_map is not None:
+        battr0 = bp.bbox_pixel_lookup(border_map, bbox)
+        pts_v, battr_v, cells_v, m1 = vx.voxel_downsample_full(
+            pts_cam, battr0, m0, cfg.voxel_leaf, cfg.cloud_capacity)
+    else:
+        pts_v, cells_v, m1 = vx.voxel_downsample_cells(
+            pts_cam, m0, cfg.voxel_leaf, cfg.cloud_capacity)
     R_wc = se3.quat_to_mat(pose_wc[3:])
     pts_w = pts_v @ R_wc.T + pose_wc[:3]
 
@@ -77,10 +104,16 @@ def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
                                                cfg.depth_range)
     center_w = R_wc @ center_cam + pose_wc[:3]
 
-    # (d) Euclidean filter
+    # (d) Euclidean filter — grid-hash labels on the camera-frame cloud
+    # (pairwise distances are rigid-invariant; the cells are camera-frame),
+    # selection distances on the world cloud
+    use_grid = _grid_clustering_ok(cam, cfg)
     sel, ok_cluster = cl.euclidean_filter(
         pts_w, m2, center_w, cfg.cluster_tolerance, cfg.cluster_min_size,
-        cfg.cluster_center_dis, outer_iters=cfg.cluster_iters)
+        cfg.cluster_center_dis, outer_iters=cfg.cluster_iters,
+        grid_pts=pts_v if use_grid else None,
+        grid_cells=cells_v if use_grid else None,
+        grid_leaf=cfg.voxel_leaf)
 
     # (e) PCA + rotation post-processing
     res = pca_mod.masked_pca(pts_w, sel)
@@ -101,15 +134,24 @@ def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
     # 0.1 m downsample of the object cloud for symmetry + scale stats
     # (EllipsoidExtractor.cpp:321-324: downsample happens in world frame,
     # then the cloud is moved to the normalized frame)
-    obj_pts, obj_m = vx.voxel_downsample(pts_w, sel, cfg.sym_grid,
-                                         cfg.sym_capacity)
+    if border_map is not None:
+        obj_pts, obj_battr, obj_m = vx.voxel_downsample_attrs(
+            pts_w, battr_v, sel, cfg.sym_grid, cfg.sym_capacity)
+        sym_src = obj_m & (obj_battr > 0.3)
+        # degenerate border sets (e.g. fully interior view) fall back to
+        # the dense cost rather than a zero-point average
+        sym_src = jnp.where(jnp.any(sym_src), sym_src, obj_m)
+    else:
+        obj_pts, obj_m = vx.voxel_downsample(pts_w, sel, cfg.sym_grid,
+                                             cfg.sym_capacity)
+        sym_src = None
     Tow = se3.se3_inv(Two)
     R_ow = se3.quat_to_mat(Tow[3:])
     pts_n = obj_pts @ R_ow.T + Tow[:3]
     pts_n = jnp.where(obj_m[:, None], pts_n, 0.0)
 
     valid = ok_points & ok_center & ok_cluster
-    return Two, pts_n, obj_m, valid
+    return Two, pts_n, obj_m, valid, sym_src
 
 
 def _finish_one(Two, pts_n, obj_m, pose_wc):
@@ -146,15 +188,20 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
     if sym_types is None:
         sym_types = jnp.zeros(bboxes.shape[0], jnp.int32)
 
+    border_map = None
     if cfg.open_symmetry:
         from ..ops import backproject as bp_mod
         from . import symmetry as sym_mod
         proj_depth = bp_mod.proj_depth_map(depth, cam)
         sym_cfg = sym_mod.SymmetryConfig()
+        if cfg.sparse_symmetry:
+            from ..ops import filters
+            border_map = filters.depth_border_mask(depth, cam.scale)
 
     def one(bbox, run, sym_type):
-        Two, pts_n, obj_m, valid = _extract_one(
-            depth, bbox, pose_wc, ground_plane, cam, cfg)
+        Two, pts_n, obj_m, valid, sym_src = _extract_one(
+            depth, bbox, pose_wc, ground_plane, cam, cfg,
+            border_map=border_map)
         prob = jnp.float32(1.0)
 
         if cfg.open_symmetry and (need_single or need_dual):
@@ -164,13 +211,15 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
             if need_single:
                 res_s = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
                                                   pose_oc, proj_depth, cam,
-                                                  dual=False, cfg=sym_cfg)
+                                                  dual=False, cfg=sym_cfg,
+                                                  src_mask=sym_src)
                 variants.append(("s", res_s, sym_mod.complete_cloud(
                     pts_n, obj_m, res_s, dual=False)))
             if need_dual:
                 res_d = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
                                                   pose_oc, proj_depth, cam,
-                                                  dual=True, cfg=sym_cfg)
+                                                  dual=True, cfg=sym_cfg,
+                                                  src_mask=sym_src)
                 variants.append(("d", res_d, sym_mod.complete_cloud(
                     pts_n, obj_m, res_d, dual=True)))
 
@@ -281,6 +330,11 @@ def make_extractor(cam: Camera, cfg: ExtractorConfig):
         # sparse frames.  Detections beyond the 32-slot safety cap fall
         # back to 2D-only observations (tracking masks them invalid).
         n = min(D, 32)
+        if D > 32:
+            import logging
+            logging.getLogger("object_oriented_slam_tpu").warning(
+                "frame has %d detections; only the first 32 get 3D "
+                "extraction (the rest fall back to 2D-only)", D)
         pad = 1
         while pad < n:
             pad *= 2

@@ -9,18 +9,33 @@ minimum distance to the 2D-center-estimate is below ``center_dis``
 accepted unconditionally, EllipsoidExtractor.cpp:696-714).
 
 TPU-shaped algorithm: iterative minimum-label propagation over the radius
-graph, evaluated in row-blocks so the N x N distance matrix is never
-materialized, interleaved with pointer-jumping to collapse long chains in
-O(log N) extra steps.  The default distance pass computes the pairwise
-cross term as a [B,3]x[3,N] matmul (MXU) with the norm expansion
-d2 = |x|^2 + |y|^2 - 2 x.y on centroid-shifted coordinates; centering
-bounds the f32 cancellation error of the expansion to ~1e-8 m^2 on
-meter-scale clouds (a +-3e-5 m perturbation of the 2 cm radius --
-far below depth-sensor noise; measured 3x faster than the exact
-broadcast form on TPU v5e).  ``exact=True`` selects the direct
-(x-y)^2 broadcast pass (bit-faithful radius test on f32 inputs).
+graph, interleaved with pointer-jumping to collapse long chains in
+O(log N) extra steps.  Two neighbor-generation backends:
+
+* ``connected_components_grid`` (the production extractor path): after a
+  voxel downsample at ``leaf`` every point occupies a unique grid cell,
+  so all radius-``tol`` neighbors live in the (2R+1)^3 surrounding cells
+  (R = ceil(tol/leaf)) and each of those cells holds at most ONE point.
+  Sorting by packed cell key and binary-searching the <= 124 candidate
+  cell keys yields an EXACT fixed-capacity neighbor table [N, C] built
+  once; each propagation round is then a single [N, C] gather + min —
+  O(N * C) instead of the O(N^2) distance pass (40x fewer candidate
+  pairs at N=8192, C=124).  The radius test is the same f32
+  sum((p-q)^2) <= tol^2 as the exact dense pass.
+* ``connected_components`` (general clouds, no voxel precondition):
+  blocked [B, N] distance passes so the N x N matrix is never
+  materialized.  The default pass computes the pairwise cross term as a
+  [B,3]x[3,N] matmul (MXU) with the norm expansion
+  d2 = |x|^2 + |y|^2 - 2 x.y on centroid-shifted coordinates; centering
+  bounds the f32 cancellation error of the expansion to ~1e-8 m^2 on
+  meter-scale clouds (a +-3e-5 m perturbation of the 2 cm radius --
+  far below depth-sensor noise; measured 3x faster than the exact
+  broadcast form on TPU v5e).  ``exact=True`` selects the direct
+  (x-y)^2 broadcast pass (bit-faithful radius test on f32 inputs).
 """
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -101,8 +116,8 @@ def _chain_seed_one(pts, mask, labels0, tol2, key):
     return jnp.where(mask, seeded_s[inv], labels0)
 
 
-def _chain_seed(pts, mask, labels0, tol2, n_orders: int = 1):
-    """Cheap label seeding along spatial sort orders.
+def _chain_seed(pts, mask, labels0, tol2):
+    """Cheap label seeding along one spatial sort order.
 
     Sorts points by a Morton-ish voxel key, links consecutive points that
     are genuinely within ``tol`` (a SUBSET of the true radius graph, so
@@ -110,51 +125,23 @@ def _chain_seed(pts, mask, labels0, tol2, n_orders: int = 1):
     running minimum along each linked run with one associative scan —
     O(N log N), no [B, N] distance pass.  Dense clouds then start the
     exact min-label rounds mostly pre-merged, cutting global rounds.
-    ``n_orders`` > 1 chains additional axis-major key orders (each pass
-    consumes the previous labels, so merges compose); clouds that break
-    into many runs under one axis order often form long runs under
-    another.
     """
     tol = jnp.sqrt(tol2)
     cell = jnp.floor(pts / tol).astype(jnp.int32)
     c = jnp.clip(cell + 512, 0, 1023)
-    keys = ((c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2],
-            (c[:, 1] << 20) | (c[:, 2] << 10) | c[:, 0],
-            (c[:, 2] << 20) | (c[:, 0] << 10) | c[:, 1])
-    labels = labels0
-    for key in keys[:n_orders]:
-        labels = _chain_seed_one(pts, mask, labels, tol2, key)
-    return labels
+    key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+    return _chain_seed_one(pts, mask, labels0, tol2, key)
 
 
-def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
-                         outer_iters: int = 8, jump_iters: int = 12,
-                         exact: bool = False, seed_orders: int = 1):
-    """Labels [N]: each point's component id = min point index in component.
+def _propagate(pass_fn, labels0, N, outer_iters, jump_iters):
+    """Min-label rounds + pointer jumping inside a converging while_loop.
 
-    Masked-out points get label N (out of range).  Min-label propagation +
-    pointer jumping runs inside a while_loop with a convergence check:
+    ``pass_fn(labels) -> labels`` performs one neighbor min-label pass;
     typical object clouds settle in 1-2 rounds, while ``outer_iters``
     bounds pathological chain topologies.
     """
-    N = pts.shape[0]
-    tol2 = jnp.float32(tol * tol)
-    idx = jnp.arange(N, dtype=jnp.int32)
-    labels0 = jnp.where(mask, idx, jnp.int32(N))
-    labels0 = _chain_seed(pts, mask, labels0, tol2, n_orders=seed_orders)
-
-    if not exact:
-        # center once (labels are translation-invariant; see module docstring)
-        c = jnp.sum(jnp.where(mask[:, None], pts, 0.0), axis=0) / \
-            jnp.maximum(jnp.sum(mask), 1).astype(pts.dtype)
-        pts_c = jnp.where(mask[:, None], pts - c, 0.0)
-        nrm = jnp.sum(pts_c * pts_c, axis=-1)
-
     def round_fn(labels):
-        if exact:
-            labels = _min_label_pass(pts, mask, labels, tol2)
-        else:
-            labels = _min_label_pass_mm(pts_c, nrm, mask, labels, tol2)
+        labels = pass_fn(labels)
 
         def jump(lab, _):
             safe = jnp.clip(lab, 0, N - 1)
@@ -165,7 +152,7 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
         return labels
 
     def cond(state):
-        labels, prev_changed, it = state
+        _, prev_changed, it = state
         return prev_changed & (it < outer_iters)
 
     def body(state):
@@ -177,6 +164,120 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
     labels, _, _ = jax.lax.while_loop(
         cond, body, (round_fn(labels0), jnp.bool_(True), jnp.int32(1)))
     return labels
+
+
+def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
+                         outer_iters: int = 8, jump_iters: int = 12,
+                         exact: bool = False):
+    """Labels [N]: each point's component id = min point index in component.
+
+    Masked-out points get label N (out of range).
+    """
+    N = pts.shape[0]
+    tol2 = jnp.float32(tol * tol)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    labels0 = jnp.where(mask, idx, jnp.int32(N))
+    labels0 = _chain_seed(pts, mask, labels0, tol2)
+
+    if not exact:
+        # center once (labels are translation-invariant; see module docstring)
+        c = jnp.sum(jnp.where(mask[:, None], pts, 0.0), axis=0) / \
+            jnp.maximum(jnp.sum(mask), 1).astype(pts.dtype)
+        pts_c = jnp.where(mask[:, None], pts - c, 0.0)
+        nrm = jnp.sum(pts_c * pts_c, axis=-1)
+
+    def pass_fn(labels):
+        if exact:
+            return _min_label_pass(pts, mask, labels, tol2)
+        return _min_label_pass_mm(pts_c, nrm, mask, labels, tol2)
+
+    return _propagate(pass_fn, labels0, N, outer_iters, jump_iters)
+
+
+def _grid_offsets(tol: float, leaf: float):
+    """Static packed-key deltas of the cells that can hold a radius-``tol``
+    neighbor of a point in the center cell (R = ceil(tol/leaf) rings,
+    pruned by the minimum cube-to-cube distance)."""
+    R = math.ceil(tol / leaf - 1e-9)
+    t2 = (tol / leaf) ** 2
+
+    def m(d):
+        return max(abs(d) - 1, 0)
+
+    offs = []
+    for dx in range(-R, R + 1):
+        for dy in range(-R, R + 1):
+            for dz in range(-R, R + 1):
+                if dx == dy == dz == 0:
+                    continue
+                if m(dx) ** 2 + m(dy) ** 2 + m(dz) ** 2 <= t2:
+                    offs.append((dx << 20) + (dy << 10) + dz)
+    return R, offs
+
+
+def grid_supported(tol: float, leaf: float, max_span: float) -> bool:
+    """Static gate for the grid path: the candidate-cell stencil must stay
+    small (R <= 2, i.e. <= 124 candidates) and the cloud's possible spatial
+    span must fit the 10-bit-per-axis key packing."""
+    R, offs = _grid_offsets(tol, leaf)
+    return len(offs) <= 124 and max_span / leaf + 2 * R + 2 <= 1024
+
+
+def connected_components_grid(pts: jnp.ndarray, cells: jnp.ndarray,
+                              mask: jnp.ndarray, tol: float, leaf: float,
+                              outer_iters: int = 8, jump_iters: int = 12):
+    """Grid-hash connected components for voxel-downsampled clouds.
+
+    PRECONDITION: each unmasked point occupies a distinct ``cells`` row
+    (guaranteed by ops.voxel.voxel_downsample_cells, whose centroids this
+    clusters).  The neighbor table is exact — every candidate pair passes
+    the same f32 sum((p-q)^2) <= tol^2 test as the dense exact pass — so
+    the components equal ``connected_components(pts, mask, tol, exact=True)``.
+    Replaces the PCL KdTree radius search of the reference
+    (src/pca/EllipsoidExtractor.cpp:646-737) with the O(N*C) design of
+    SURVEY.md §7.2.  ``cells`` must be computed from the SAME coordinates
+    as ``pts`` (pass camera-frame points here even when selection happens
+    in world frame: pairwise distances are rigid-invariant, the cell
+    bound is not).
+    """
+    N = pts.shape[0]
+    tol2 = jnp.float32(tol * tol)
+    R, offs = _grid_offsets(tol, leaf)
+    big = jnp.int32(2 ** 30)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    cmin = jnp.min(jnp.where(mask[:, None], cells, big), axis=0)
+    c = jnp.clip(cells - cmin + R, 0, 1023)
+    # unmasked keys < 2^30; masked points get unique sentinels so the sort
+    # keeps per-key uniqueness (spurious sentinel matches are harmless:
+    # masked labels are pinned at N and never win a min)
+    key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+    key = jnp.where(mask, key, big + idx)
+
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pts_s = pts[order]
+    mask_s = mask[order]
+
+    dkeys = jnp.asarray(offs, jnp.int32)                    # [C]
+    targets = key_s[:, None] + dkeys[None, :]               # [N, C]
+    pos = jnp.searchsorted(key_s, targets, side="left",
+                           method="scan_unrolled")
+    pos = jnp.minimum(pos, N - 1).astype(jnp.int32)
+    hit = (key_s[pos] == targets) & mask_s[:, None]
+    d2 = jnp.sum((pts_s[:, None, :] - pts_s[pos]) ** 2, axis=-1)
+    hit = hit & (d2 <= tol2)
+    nbr_vals = jnp.where(hit, order[pos], order[:, None])   # original ids
+    inv = jnp.argsort(order)
+    nbr = nbr_vals[inv]                                     # original order
+
+    labels0 = jnp.where(mask, idx, jnp.int32(N))
+    labels0 = _chain_seed(pts, mask, labels0, tol2)
+
+    def pass_fn(labels):
+        return jnp.minimum(labels, jnp.min(labels[nbr], axis=1))
+
+    return _propagate(pass_fn, labels0, N, outer_iters, jump_iters)
 
 
 def select_cluster(pts: jnp.ndarray, mask: jnp.ndarray, labels: jnp.ndarray,
@@ -217,8 +318,22 @@ def select_cluster(pts: jnp.ndarray, mask: jnp.ndarray, labels: jnp.ndarray,
 def euclidean_filter(pts: jnp.ndarray, mask: jnp.ndarray, center: jnp.ndarray,
                      tol: float, min_size: int, center_dis: float,
                      outer_iters: int = 8, exact: bool = False,
-                     seed_orders: int = 1):
-    """Full Euclidean-filter stage: cluster + select. Returns (sel_mask, ok)."""
-    labels = connected_components(pts, mask, tol, outer_iters=outer_iters,
-                                  exact=exact, seed_orders=seed_orders)
+                     grid_pts: jnp.ndarray | None = None,
+                     grid_cells: jnp.ndarray | None = None,
+                     grid_leaf: float | None = None):
+    """Full Euclidean-filter stage: cluster + select. Returns (sel_mask, ok).
+
+    When ``grid_pts``/``grid_cells``/``grid_leaf`` are given (the points in
+    the frame whose voxelization produced the cells — see
+    connected_components_grid), the O(N*C) grid path computes the labels;
+    ``pts``/``center`` are still used for the selection distances (they may
+    live in a different rigid frame).
+    """
+    if grid_pts is not None:
+        labels = connected_components_grid(grid_pts, grid_cells, mask, tol,
+                                           grid_leaf,
+                                           outer_iters=outer_iters)
+    else:
+        labels = connected_components(pts, mask, tol,
+                                      outer_iters=outer_iters, exact=exact)
     return select_cluster(pts, mask, labels, center, min_size, center_dis)

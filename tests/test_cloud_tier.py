@@ -8,7 +8,6 @@ referenced an unimported STRIDE and raised NameError on every frame).
 import jax.numpy as jnp
 import numpy as np
 
-from object_oriented_slam_tpu.core.camera import Camera
 from object_oriented_slam_tpu.frontend import ExtractorConfig
 from object_oriented_slam_tpu.frontend.extractor import (_cloud_tier,
                                                          _extract_packed)
@@ -60,4 +59,6 @@ def test_tiered_extraction_matches_full_capacity():
         False, False))
 
     assert out_full[0, 11] == 1.0  # valid
-    np.testing.assert_allclose(out_tier, out_full, rtol=0, atol=1e-5)
+    # the tier only pads: voxel compaction is deterministic prefix-order,
+    # so the tiered result is bit-identical, not merely close
+    np.testing.assert_array_equal(out_tier, out_full)
