@@ -70,11 +70,16 @@ def _plane_from_params(angle, dis):
 
 
 def _mirror_cost(planes, ptsT, ref_nrm, mask, bbox, pose_oc, proj_depth,
-                 cam: Camera, sigma):
+                 cam: Camera, sigma, src_mask=None):
     """Cost of a candidate plane set (1 or 2 planes stacked [P,4]).
 
     Mirrors the cloud across each plane, scores all mirrored points with
     the occlusion-aware Gaussian NN model, returns -mean ln P.
+
+    ``src_mask`` (sparse symmetry mode, SymmetrySolver.cpp:387-388): only
+    these points are mirrored and scored — the reference swaps the
+    mirrored source for the depth-border cloud while the 1-NN reference
+    set stays the full object cloud (the KdTree is built on ``mpCloud``).
 
     SoA layout: ``ptsT`` is the object cloud coords-first [3, S] and all
     per-point work runs componentwise on [P*S] lane vectors — a [M, 3]
@@ -98,7 +103,8 @@ def _mirror_cost(planes, ptsT, ref_nrm, mask, bbox, pose_oc, proj_depth,
     mx = jnp.concatenate(mxs)
     my = jnp.concatenate(mys)
     mz = jnp.concatenate(mzs)
-    m_mask = jnp.tile(mask, (planes.shape[0],))
+    q_mask = mask if src_mask is None else src_mask
+    m_mask = jnp.tile(q_mask, (planes.shape[0],))
 
     # project into the image: T_c<-o = inv(pose_oc)
     Tco = se3.se3_inv(pose_oc)
@@ -146,7 +152,7 @@ class SymResult(NamedTuple):
 
 def _optimize_one_init(init_angle, init_dis, ptsT, ref_nrm, mask, bbox,
                        pose_oc, proj_depth, cam, cfg: SymmetryConfig,
-                       dual: bool):
+                       dual: bool, src_mask=None):
     """5-iteration LM on plane parameters from one initialization."""
     n_par = 3 if dual else 2
 
@@ -160,7 +166,8 @@ def _optimize_one_init(init_angle, init_dis, ptsT, ref_nrm, mask, bbox,
 
     def cost(params):
         return _mirror_cost(planes_of(params), ptsT, ref_nrm, mask, bbox,
-                            pose_oc, proj_depth, cam, cfg.sigma)
+                            pose_oc, proj_depth, cam, cfg.sigma,
+                            src_mask=src_mask)
 
     p0 = jnp.zeros(n_par).at[0].set(init_angle).at[1].set(init_dis)
 
@@ -205,8 +212,14 @@ def _optimize_one_init(init_angle, init_dis, ptsT, ref_nrm, mask, bbox,
 
 
 def estimate_symmetry(pts, mask, bbox, pose_oc, proj_depth, cam: Camera,
-                      dual: bool, cfg: SymmetryConfig = SymmetryConfig()):
-    """Grid of 9 initializations -> best SymResult (Symmetry.cpp:88-128)."""
+                      dual: bool, cfg: SymmetryConfig = SymmetryConfig(),
+                      src_mask=None):
+    """Grid of 9 initializations -> best SymResult (Symmetry.cpp:88-128).
+
+    ``src_mask`` enables the sparse estimation mode (Symmetry::SetBorders,
+    Symmetry.cpp:163-167): only the masked points (depth-border points)
+    are mirrored and scored; the NN reference stays the full cloud.
+    """
     steps = jnp.array([-1.0, 0.0, 1.0])
     dis0 = steps * cfg.step_dis
     ang0 = steps * jnp.deg2rad(cfg.step_angle_deg)
@@ -217,7 +230,7 @@ def estimate_symmetry(pts, mask, bbox, pose_oc, proj_depth, cam: Camera,
     ref_nrm = jnp.sum(pts * pts, axis=1)
     res = jax.vmap(lambda a, d: _optimize_one_init(
         a, d, ptsT, ref_nrm, mask, bbox, pose_oc, proj_depth, cam, cfg,
-        dual))(aa, dd)
+        dual, src_mask=src_mask))(aa, dd)
     best = jnp.argmax(res.prob)
     return SymResult(plane=res.plane[best], dual_dis=res.dual_dis[best],
                      prob=res.prob[best], error=res.error[best])

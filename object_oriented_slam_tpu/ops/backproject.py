@@ -57,6 +57,25 @@ def bbox_point_cloud(depth: jnp.ndarray, bbox: jnp.ndarray, cam: Camera,
     return pts, valid.reshape(-1)
 
 
+def bbox_pixel_lookup(attr_map: jnp.ndarray, bbox: jnp.ndarray):
+    """Sample a per-pixel attribute map at the SAME strided grid as
+    ``bbox_point_cloud`` so the result aligns row-for-row with its point
+    output (used to tag each back-projected point with its depth-border
+    flag for the sparse symmetry mode, BorderExtractor.cpp:58-132).
+
+    attr_map: [H, W] (bool or float); returns [BBOX_GRID_H*BBOX_GRID_W]
+    float32.
+    """
+    H, W = attr_map.shape
+    x1 = jnp.clip(bbox[0].astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(bbox[1].astype(jnp.int32), 0, H - 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (BBOX_GRID_H, BBOX_GRID_W), 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (BBOX_GRID_H, BBOX_GRID_W), 0)
+    pxc = jnp.clip(x1 + STRIDE * jj, 0, W - 1)
+    pyc = jnp.clip(y1 + STRIDE * ii, 0, H - 1)
+    return attr_map[pyc, pxc].astype(jnp.float32).reshape(-1)
+
+
 def full_point_cloud(depth: jnp.ndarray, cam: Camera, stride: int = 1,
                      depth_range: float = jnp.inf):
     """Full-image back-projection (organized), [H//s, W//s, 3] + mask."""
