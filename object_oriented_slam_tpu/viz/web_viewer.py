@@ -77,15 +77,24 @@ def export_html(path: str,
                 cloud_lists: Optional[Dict[str, tuple]] = None,
                 object_history: Optional[Dict[int, np.ndarray]] = None,
                 max_points_per_cloud: int = 60000,
-                title: str = "object-oriented-slam map"):
+                title: str = "object-oriented-slam map",
+                live_reload_s: float = 0.0):
     """Write a standalone interactive viewer to ``path``.
 
     map_objects: {instance: vec10}; trajectory: [F,7] or [F,3] poses;
     ground_plane: vec4; cloud_lists: {name: (pts [N,3], colors [N,3] or
     None)}; object_history: {instance: rows [H, 11] (n_obs, flag, vec9)}.
+
+    ``live_reload_s`` > 0 turns the page into a live view: it reloads
+    itself every that many seconds while persisting the camera pose and
+    layer toggles in localStorage, so a file being atomically rewritten
+    during a run (``run_tum.py --viz-live``) behaves like the reference's
+    Viewer-thread window (src/core/Viewer.cpp:48-175) without a display
+    server.
     """
     data = {"title": title, "objects": [], "clouds": [], "frusta": [],
-            "traj": [], "plane": None, "history": {}}
+            "traj": [], "plane": None, "history": {},
+            "reload_s": float(live_reload_s)}
 
     for inst, v in sorted(map_objects.items()):
         v = np.asarray(v, np.float64)
@@ -294,12 +303,23 @@ function draw(){
     gl.bindBuffer(gl.ARRAY_BUFFER,it.cbuf);gl.vertexAttribPointer(aC,3,gl.FLOAT,false,0,0);
     gl.drawArrays(it.mode==='POINTS'?gl.POINTS:gl.LINES,0,it.n);});
   requestAnimationFrame(draw);}
+// ---- live mode: persist view across self-reloads ----------------------
+if(DATA.reload_s){
+  try{const s=JSON.parse(localStorage.getItem('oslam_view')||'null');
+    if(s){az=s.az;el=s.el;dist=s.dist;ctr=s.ctr;
+      items.forEach(it=>{if(s.vis&&(it.name in s.vis))it.vis=s.vis[it.name];});
+      tog.querySelectorAll('input').forEach((c,i)=>{if(items[i])c.checked=items[i].vis;});}}catch(e){}
+  setInterval(()=>{const vis={};items.forEach(it=>{vis[it.name]=it.vis;});
+    localStorage.setItem('oslam_view',JSON.stringify({az,el,dist,ctr,vis}));},500);
+  setTimeout(()=>location.reload(),DATA.reload_s*1000);
+}
 draw();
 </script></body></html>
 """
 
 
-def export_state_html(path: str, state, title="object-oriented-slam map"):
+def export_state_html(path: str, state, title="object-oriented-slam map",
+                      live_reload_s: float = 0.0):
     """Convenience: export a SlamState snapshot (system/state.py)."""
     objs = {i: state.objects[i].vec10
             for i in state.initialized_instances()}
@@ -310,4 +330,23 @@ def export_state_html(path: str, state, title="object-oriented-slam map"):
     return export_html(path, objs, trajectory=traj,
                        ground_plane=state.ground_plane,
                        cloud_lists=state.cloud_lists,
-                       object_history=hist, title=title)
+                       object_history=hist, title=title,
+                       live_reload_s=live_reload_s)
+
+
+def export_live_snapshot(out_dir: str, state, frame_no: int,
+                         reload_s: float = 1.0,
+                         filename: str = "live.html") -> str:
+    """Atomically rewrite ``<out_dir>/live.html`` with the current map.
+
+    Safe to call mid-run at any frequency: the page in the browser
+    reloads itself every ``reload_s`` seconds and keeps its camera, so
+    watching the file is a live map view (Viewer-thread analogue).
+    """
+    import os
+    final = os.path.join(out_dir, filename)
+    tmp = final + ".tmp"
+    export_state_html(tmp, state, title=f"live map — frame {frame_no}",
+                      live_reload_s=reload_s)
+    os.replace(tmp, final)
+    return final
