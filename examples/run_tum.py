@@ -34,6 +34,10 @@ def main():
                     help="accumulate a dense colored map (PLY)")
     ap.add_argument("--viz", action="store_true",
                     help="save per-frame renders + final map image")
+    ap.add_argument("--viz-live", type=int, default=0, metavar="N",
+                    help="every N frames atomically rewrite "
+                         "<out>/live.html (a self-reloading WebGL map "
+                         "view; open it in a browser during the run)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--checkpoint", default=None,
                     help="save state checkpoint at the end")
@@ -112,10 +116,14 @@ def main():
         import jax
         print(f"{len(jax.devices())} device(s)")
 
-    builder = None
-    if args.build_dense:
+    # dense builder: the Visualization.Builder.Open config key drives it
+    # inside Tracking (Tracking.cpp:234-250); --build-dense forces it on
+    builder = slam.tracker.dense_builder
+    external_builder = False
+    if args.build_dense and builder is None:
         from object_oriented_slam_tpu.system.dense_builder import DenseBuilder
         builder = DenseBuilder(cam)
+        external_builder = True
 
     skip = 0
     if args.resume:
@@ -136,7 +144,7 @@ def main():
             continue
         slam.track_with_objects(ts, pose, det, depth=depth, rgb=rgb,
                                 with_association=not args.auto_assoc)
-        if builder is not None:
+        if external_builder:
             builder.process_frame(rgb, depth, pose)
         if args.viz and rgb is not None:
             from object_oriented_slam_tpu.viz.export import draw_frame
@@ -144,11 +152,20 @@ def main():
             img = draw_frame(rgb, det, slam.map_objects, pose, cam.K)
             cv2.imwrite(os.path.join(args.out, f"frame_{i:04d}.png"), img)
         n += 1
+        if args.viz_live and n % args.viz_live == 0:
+            from object_oriented_slam_tpu.viz.web_viewer import \
+                export_live_snapshot
+            export_live_snapshot(args.out, slam.tracker.state, n)
         if n % 10 == 0:
             print(f"frame {n} ({time.time() - t0:.1f}s)", flush=True)
         if args.max_frames and n >= args.max_frames:
             break
     dt = time.time() - t0
+    if args.viz_live:
+        from object_oriented_slam_tpu.viz.web_viewer import \
+            export_live_snapshot
+        slam.tracker.sync()
+        export_live_snapshot(args.out, slam.tracker.state, n)
     print(f"Processed {n} frames in {dt:.1f}s ({n / dt:.2f} fps)")
     print("Timing:", timing_summary(slam.tracker.metrics))
 

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--frame", type=int, default=20)
     ap.add_argument("--dataset",
                     default="/root/reference/Example/dataset/cabinet/")
+    ap.add_argument("--grid", action="store_true",
+                    help="also time the (TPU-pathological) grid-cluster "
+                         "variants")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -71,19 +74,38 @@ def main():
     print(f"cloud tier: {tier}")
 
     variants = [
-        ("grid+sym", ExtractorConfig(cloud_capacity=tier,
-                                     open_symmetry=True), False, True),
         ("dense+sym", ExtractorConfig(cloud_capacity=tier, grid_cluster=False,
                                       open_symmetry=True), False, True),
-        ("grid", ExtractorConfig(cloud_capacity=tier), False, False),
         ("dense", ExtractorConfig(cloud_capacity=tier, grid_cluster=False),
          False, False),
     ]
+    if args.grid:
+        # grid-hash clustering: exact + asymptotically better but the
+        # remote TPU toolchain compiles its gathers pathologically
+        # (BENCH_DETAILS "grid clustering") — opt-in only
+        variants += [
+            ("grid+sym", ExtractorConfig(cloud_capacity=tier,
+                                         grid_cluster=True,
+                                         open_symmetry=True), False, True),
+            ("grid", ExtractorConfig(cloud_capacity=tier, grid_cluster=True),
+             False, False),
+        ]
+    import jax
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo")
+    from bench import roofline
     for name, cfg, ns, nd in variants:
         ms = time_variant(
             lambda cfg=cfg, ns=ns, nd=nd: _extract_packed(
                 depth_j, flat_j, cam, cfg, pad, ns, nd), args.reps)
-        print(f"{name:12s} {ms:7.2f} ms/call")
+        jitted = _extract_packed.lower(depth_j, flat_j, cam, cfg, pad,
+                                       ns, nd).compile()
+        rl = roofline(jitted, ms) or {}
+        print(f"{name:12s} {ms:7.2f} ms/call   "
+              f"{rl.get('tflops_achieved', 0):8.4f} TF/s "
+              f"(mfu {100 * rl.get('mfu', 0):.2f}%)   "
+              f"{rl.get('gbps_achieved', 0):7.2f} GB/s "
+              f"(bw {100 * rl.get('bw_util', 0):.1f}%)")
 
 
 if __name__ == "__main__":

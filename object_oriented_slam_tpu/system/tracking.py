@@ -64,6 +64,18 @@ def _np_se3_mul(a, b):
     return np.concatenate([a[:3] + tb, q / np.linalg.norm(q)])
 
 
+def _default_plane_check(plane_world) -> bool:
+    """Tracking.cpp:758-772: print the plane, ask Y/N on the terminal.
+    Non-interactive runs auto-accept (the reference would block forever
+    on getchar)."""
+    import sys
+    print(f"Estimated ground plane: {np.round(plane_world, 4)}")
+    if not sys.stdin.isatty():
+        return True
+    ans = input("Accept ground plane? [Y/n] ").strip().lower()
+    return ans in ("", "y", "yes")
+
+
 class Tracking:
     """Host orchestrator with jitted device kernels.
 
@@ -115,6 +127,26 @@ class Tracking:
         # default is the reference's greedy row-wise matching
         self.use_optimal_assoc = config.get_int(
             "Tracking.DataAssociation.Optimal") == 1
+        # per-optimizer-run object_list.txt dump (Optimizer.cpp:308-316
+        # writes ./object_list.txt unconditionally; here behind a key so
+        # the default run does not litter the cwd)
+        self.write_object_list = config.get_int(
+            "Optimizer.WriteObjectList.Open") == 1
+        self.object_list_path = "./object_list.txt"
+        # dense visualization map driven by the config key exactly like
+        # Tracking.cpp:234-250 (absent key -> 0 -> off)
+        self.dense_builder = None
+        if config.get_int("Visualization.Builder.Open") == 1:
+            from .dense_builder import DenseBuilder
+            self.dense_builder = DenseBuilder(self.camera)
+        # interactive ground-plane confirmation (Tracking.cpp:758-772):
+        # when open, the estimated plane is offered to
+        # ``plane_manual_check_fn`` (default: terminal Y/N when stdin is
+        # a tty, auto-accept otherwise); rejection keeps the estimation
+        # state machine at 1 so the next frame retries
+        self.plane_manual_check = config.get_int(
+            "Plane.MannualCheck.Open") == 1
+        self.plane_manual_check_fn = _default_plane_check
 
         # SoA backend: same factor-graph semantics, observation axis in
         # lanes (backend/lm_soa.py) — several times faster per call on TPU
@@ -199,8 +231,12 @@ class Tracking:
                 pw = np.asarray(plane_mod.transform(
                     jnp.asarray(pw.astype(np.float32)),
                     jnp.asarray(pose_wc.astype(np.float32))), np.float64)
-                self.state.ground_plane = pw
-                self.state.ground_state = 2
+                if (not self.plane_manual_check
+                        or self.plane_manual_check_fn(pw)):
+                    self.state.ground_plane = pw
+                    self.state.ground_state = 2
+                # else: state stays 1, retry next frame
+                # (Tracking.cpp:766-771)
 
         # ---- [1.2] single-frame ellipsoid estimation (dispatch) --------
         n_det = det_mat.shape[0]
@@ -224,9 +260,14 @@ class Tracking:
                 ext_out = self.extractor(depth, bboxes, labels,
                                          pose_wc, self.state.ground_plane)
 
-        item = (frame_id, pose_wc, det_mat, ext_out, run, with_association)
+        # dense visualization map (Tracking.cpp:234-250, config-gated)
+        if self.dense_builder is not None and depth is not None:
+            self.dense_builder.process_frame(rgb, depth, pose_wc)
+
+        item = [frame_id, pose_wc, det_mat, ext_out, run, with_association]
         # start the extraction result's host copy now: it has
         # pipeline_depth-1 frame periods to land before it is read
+        # (two-phase handles start their own phase-A copy at dispatch)
         if ext_out is not None and hasattr(ext_out, "copy_to_host_async"):
             try:
                 ext_out.copy_to_host_async()
@@ -235,6 +276,7 @@ class Tracking:
         self.metrics["dispatch"].append(time.perf_counter() - t0)
         if self.pipeline_depth >= 2 and self.extractor is not None:
             self._pending_extraction.append(item)
+            self._midway_due()
             if len(self._pending_extraction) >= self.pipeline_depth:
                 self._process_frame_obs(*self._pending_extraction.popleft())
             # backend time is recorded inside the deferred processing
@@ -248,6 +290,27 @@ class Tracking:
         return True
 
     # ------------------------------------------------------------------
+    def _midway_due(self):
+        """Two-phase extractor: run the host clustering + phase-B dispatch
+        for the item ``pipeline_depth//2`` frames behind the queue head —
+        phase A's async copy has had that long to land, and phase B gets
+        the remaining deferral window to compute and stream back."""
+        if not getattr(self.extractor, "two_phase", False):
+            return
+        lag = max(1, self.pipeline_depth // 2)
+        k = len(self._pending_extraction) - 1 - lag
+        if k >= 0:
+            it = self._pending_extraction[k]
+            if getattr(it[3], "is_phase_a", False):
+                out = self.extractor.midway(it[3])
+                if hasattr(out, "copy_to_host_async"):
+                    try:
+                        out.copy_to_host_async()
+                    except Exception:
+                        pass
+                it[3] = out
+
+    # ------------------------------------------------------------------
     def _process_frame_obs(self, frame_id, pose_wc, det_mat, ext_out, run,
                            with_association):
         """Host-side half of a frame: fetch extraction results, associate,
@@ -259,6 +322,9 @@ class Tracking:
         """
         import time
         tp0 = time.perf_counter()
+        if ext_out is not None and getattr(ext_out, "is_phase_a", False):
+            # un-midway'd two-phase handle (eager mode or sync flush)
+            ext_out = self.extractor.midway(ext_out)
         n_det = det_mat.shape[0]
         local_vec10 = np.zeros((n_det, 10))
         local_prob = np.zeros(n_det)
@@ -281,6 +347,12 @@ class Tracking:
             # the extractor may return fewer rows than detections (its
             # detection-axis capacity); the overflow keeps 2D-only obs
             n_rows = min(n_det, ext_np.shape[0])
+            if n_rows < n_det and np.any(run[n_rows:]):
+                import logging
+                logging.getLogger("object_oriented_slam_tpu").warning(
+                    "extractor returned %d rows for %d detections; "
+                    "detections beyond the capacity keep 2D-only "
+                    "observations", n_rows, n_det)
             r = run[:n_rows]
             local_vec10[:n_rows][r] = ext_np[:n_rows][r, :10]
             local_prob[:n_rows][r] = ext_np[:n_rows][r, 10]
@@ -490,6 +562,11 @@ class Tracking:
         slot = self._slot_of.get(inst)
         if slot is None:
             if len(self._slot_of) >= self.MAX_OBJECTS:
+                import logging
+                logging.getLogger("object_oriented_slam_tpu").warning(
+                    "instance %d exceeds the %d-object backend capacity; "
+                    "its observations are dropped from the optimization",
+                    inst, self.MAX_OBJECTS)
                 return None
             slot = len(self._slot_of)
             self._slot_of[inst] = slot
@@ -701,6 +778,15 @@ class Tracking:
             for slot, inst in slot_to_instance:
                 self.state.objects[inst].vec10 = est[slot]
             self._refresh_history(nobs)
+            if self.write_object_list:
+                # per-optimizer-run dump (Optimizer.cpp:308-316)
+                from ..io.writers import save_object_list
+                insts = sorted(inst for _, inst in slot_to_instance)
+                save_object_list(
+                    self.object_list_path, insts,
+                    np.stack([self._np_to_minimal(
+                        self.state.objects[i].vec10) for i in insts]),
+                    [self.state.objects[i].label for i in insts])
 
     def sync(self):
         """Flush the pipeline: process deferred frames in order, drain."""
