@@ -5,7 +5,7 @@ set -e
 cd "$(dirname "$0")"
 mkdir -p lib
 g++ -O2 -fPIC -shared -std=c++17 -pthread \
-    src/tum_loader.cpp \
+    src/tum_loader.cpp src/cluster.cpp \
     -lpng -ljpeg -lz \
     -o lib/liboslam_native.so
 echo "built lib/liboslam_native.so"

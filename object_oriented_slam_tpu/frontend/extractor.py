@@ -78,12 +78,17 @@ def _grid_clustering_ok(cam: Camera, cfg: ExtractorConfig) -> bool:
         cfg.cluster_tolerance, cfg.voxel_leaf, span)
 
 
-def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
+def _stage_a_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
                  cfg: ExtractorConfig, border_map=None):
-    """One detection -> (local vec10, normalized cloud, Two, valid parts,
-    symmetry source mask)."""
+    """Stages (a)-(c) of one detection: bbox cloud -> voxel -> world,
+    supporting-plane filter, center estimate.
+
+    Returns (pts_v camera-frame voxel cloud, pts_w world cloud, cells_v,
+    m2 filtered mask, center_w, ok_points, ok_center, battr_v | None).
+    """
     # (a) bbox cloud -> voxel -> world
     pts_cam, m0 = bp.bbox_point_cloud(depth, bbox, cam, cfg.depth_range)
+    battr_v = None
     if border_map is not None:
         battr0 = bp.bbox_pixel_lookup(border_map, bbox)
         pts_v, battr_v, cells_v, m1 = vx.voxel_downsample_full(
@@ -103,18 +108,15 @@ def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
     center_cam, ok_center = bp.center_estimate(depth, bbox, cam,
                                                cfg.depth_range)
     center_w = R_wc @ center_cam + pose_wc[:3]
+    return (pts_v, pts_w, cells_v, m2, center_w, ok_points, ok_center,
+            battr_v)
 
-    # (d) Euclidean filter — grid-hash labels on the camera-frame cloud
-    # (pairwise distances are rigid-invariant; the cells are camera-frame),
-    # selection distances on the world cloud
-    use_grid = _grid_clustering_ok(cam, cfg)
-    sel, ok_cluster = cl.euclidean_filter(
-        pts_w, m2, center_w, cfg.cluster_tolerance, cfg.cluster_min_size,
-        cfg.cluster_center_dis, outer_iters=cfg.cluster_iters,
-        grid_pts=pts_v if use_grid else None,
-        grid_cells=cells_v if use_grid else None,
-        grid_leaf=cfg.voxel_leaf)
 
+def _stage_post_one(pts_w, sel, battr_v, pose_wc, ground_plane,
+                    cam: Camera, cfg: ExtractorConfig):
+    """Stages (e)-(f) after cluster selection: PCA, rotation
+    post-processing, normalized object frame, 0.1 m object-cloud
+    downsample.  Returns (Two, pts_n, obj_m, sym_src)."""
     # (e) PCA + rotation post-processing
     res = pca_mod.masked_pca(pts_w, sel)
     rot = pca_mod.adjust_chirality(res.rot)
@@ -134,7 +136,7 @@ def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
     # 0.1 m downsample of the object cloud for symmetry + scale stats
     # (EllipsoidExtractor.cpp:321-324: downsample happens in world frame,
     # then the cloud is moved to the normalized frame)
-    if border_map is not None:
+    if battr_v is not None:
         obj_pts, obj_battr, obj_m = vx.voxel_downsample_attrs(
             pts_w, battr_v, sel, cfg.sym_grid, cfg.sym_capacity)
         sym_src = obj_m & (obj_battr > 0.3)
@@ -149,7 +151,31 @@ def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
     R_ow = se3.quat_to_mat(Tow[3:])
     pts_n = obj_pts @ R_ow.T + Tow[:3]
     pts_n = jnp.where(obj_m[:, None], pts_n, 0.0)
+    return Two, pts_n, obj_m, sym_src
 
+
+def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
+                 cfg: ExtractorConfig, border_map=None):
+    """One detection -> (local vec10, normalized cloud, Two, valid parts,
+    symmetry source mask).  Monolithic path: stages (a)-(f) in one graph
+    with the on-device clustering in between."""
+    (pts_v, pts_w, cells_v, m2, center_w, ok_points, ok_center,
+     battr_v) = _stage_a_one(depth, bbox, pose_wc, ground_plane, cam, cfg,
+                             border_map=border_map)
+
+    # (d) Euclidean filter — grid-hash labels on the camera-frame cloud
+    # (pairwise distances are rigid-invariant; the cells are camera-frame),
+    # selection distances on the world cloud
+    use_grid = _grid_clustering_ok(cam, cfg)
+    sel, ok_cluster = cl.euclidean_filter(
+        pts_w, m2, center_w, cfg.cluster_tolerance, cfg.cluster_min_size,
+        cfg.cluster_center_dis, outer_iters=cfg.cluster_iters,
+        grid_pts=pts_v if use_grid else None,
+        grid_cells=cells_v if use_grid else None,
+        grid_leaf=cfg.voxel_leaf)
+
+    Two, pts_n, obj_m, sym_src = _stage_post_one(
+        pts_w, sel, battr_v, pose_wc, ground_plane, cam, cfg)
     valid = ok_points & ok_center & ok_cluster
     return Two, pts_n, obj_m, valid, sym_src
 
@@ -189,11 +215,10 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
         sym_types = jnp.zeros(bboxes.shape[0], jnp.int32)
 
     border_map = None
+    proj_depth = None
     if cfg.open_symmetry:
         from ..ops import backproject as bp_mod
-        from . import symmetry as sym_mod
         proj_depth = bp_mod.proj_depth_map(depth, cam)
-        sym_cfg = sym_mod.SymmetryConfig()
         if cfg.sparse_symmetry:
             from ..ops import filters
             border_map = filters.depth_border_mask(depth, cam.scale)
@@ -202,59 +227,69 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
         Two, pts_n, obj_m, valid, sym_src = _extract_one(
             depth, bbox, pose_wc, ground_plane, cam, cfg,
             border_map=border_map)
-        prob = jnp.float32(1.0)
-
-        if cfg.open_symmetry and (need_single or need_dual):
-            from . import symmetry as sym_mod
-            pose_oc = se3.se3_mul(se3.se3_inv(Two), pose_wc)
-            variants = []
-            if need_single:
-                res_s = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
-                                                  pose_oc, proj_depth, cam,
-                                                  dual=False, cfg=sym_cfg,
-                                                  src_mask=sym_src)
-                variants.append(("s", res_s, sym_mod.complete_cloud(
-                    pts_n, obj_m, res_s, dual=False)))
-            if need_dual:
-                res_d = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
-                                                  pose_oc, proj_depth, cam,
-                                                  dual=True, cfg=sym_cfg,
-                                                  src_mask=sym_src)
-                variants.append(("d", res_d, sym_mod.complete_cloud(
-                    pts_n, obj_m, res_d, dual=True)))
-
-            use_sym = sym_type > 0
-            if len(variants) == 2:
-                use_dual = sym_type == 2
-                (_, res_s, (pts_s, m_s, Tom_s)) = variants[0]
-                (_, res_d, (pts_d, m_d, Tom_d)) = variants[1]
-                pts_sym = jnp.where(use_dual, pts_d, pts_s)
-                m_sym = jnp.where(use_dual, m_d, m_s)
-                Tom = jnp.where(use_dual, Tom_d, Tom_s)
-                sym_prob = jnp.where(use_dual, res_d.prob, res_s.prob)
-            else:
-                (_, res_v, (pts_sym, m_sym, Tom)) = variants[0]
-                sym_prob = res_v.prob
-
-            # no-symmetry fallback padded to the same 4S capacity
-            S = pts_n.shape[0]
-            pts_plain = jnp.concatenate([pts_n, jnp.zeros((3 * S, 3))])
-            m_plain = jnp.concatenate([obj_m, jnp.zeros(3 * S, bool)])
-
-            pts_fin = jnp.where(use_sym, pts_sym, pts_plain)
-            m_fin = jnp.where(use_sym, m_sym, m_plain)
-            Two_fin = jnp.where(use_sym, se3.se3_mul(Two, Tom), Two)
-            prob = jnp.where(use_sym, sym_prob, 1.0)
-        else:
-            pts_fin, m_fin, Two_fin = pts_n, obj_m, Two
-
-        e_local, e_world = _finish_one(Two_fin, pts_fin, m_fin, pose_wc)
-        ok = valid & run & jnp.all(jnp.isfinite(e_local)) & (prob > 1e-8)
-        return e_local, prob, ok, pts_fin, m_fin, Two_fin
+        return _sym_finish_one(
+            Two, pts_n, obj_m, sym_src, valid & run, bbox, sym_type,
+            pose_wc, proj_depth, cam, cfg, need_single, need_dual)
 
     e_local, prob, ok, pts_n, obj_m, Two = jax.vmap(one)(bboxes, run_mask,
                                                          sym_types)
     return e_local, prob, ok, (pts_n, obj_m, Two)
+
+
+def _sym_finish_one(Two, pts_n, obj_m, sym_src, ok_in, bbox, sym_type,
+                    pose_wc, proj_depth, cam: Camera, cfg: ExtractorConfig,
+                    need_single: bool, need_dual: bool):
+    """Stages (g)-(h) of one detection: optional symmetry completion,
+    scale from normalized stats, camera-local assembly + validity."""
+    prob = jnp.float32(1.0)
+    if cfg.open_symmetry and (need_single or need_dual):
+        from . import symmetry as sym_mod
+        sym_cfg = sym_mod.SymmetryConfig()
+        pose_oc = se3.se3_mul(se3.se3_inv(Two), pose_wc)
+        variants = []
+        if need_single:
+            res_s = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
+                                              pose_oc, proj_depth, cam,
+                                              dual=False, cfg=sym_cfg,
+                                              src_mask=sym_src)
+            variants.append(("s", res_s, sym_mod.complete_cloud(
+                pts_n, obj_m, res_s, dual=False)))
+        if need_dual:
+            res_d = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
+                                              pose_oc, proj_depth, cam,
+                                              dual=True, cfg=sym_cfg,
+                                              src_mask=sym_src)
+            variants.append(("d", res_d, sym_mod.complete_cloud(
+                pts_n, obj_m, res_d, dual=True)))
+
+        use_sym = sym_type > 0
+        if len(variants) == 2:
+            use_dual = sym_type == 2
+            (_, res_s, (pts_s, m_s, Tom_s)) = variants[0]
+            (_, res_d, (pts_d, m_d, Tom_d)) = variants[1]
+            pts_sym = jnp.where(use_dual, pts_d, pts_s)
+            m_sym = jnp.where(use_dual, m_d, m_s)
+            Tom = jnp.where(use_dual, Tom_d, Tom_s)
+            sym_prob = jnp.where(use_dual, res_d.prob, res_s.prob)
+        else:
+            (_, res_v, (pts_sym, m_sym, Tom)) = variants[0]
+            sym_prob = res_v.prob
+
+        # no-symmetry fallback padded to the same 4S capacity
+        S = pts_n.shape[0]
+        pts_plain = jnp.concatenate([pts_n, jnp.zeros((3 * S, 3))])
+        m_plain = jnp.concatenate([obj_m, jnp.zeros(3 * S, bool)])
+
+        pts_fin = jnp.where(use_sym, pts_sym, pts_plain)
+        m_fin = jnp.where(use_sym, m_sym, m_plain)
+        Two_fin = jnp.where(use_sym, se3.se3_mul(Two, Tom), Two)
+        prob = jnp.where(use_sym, sym_prob, 1.0)
+    else:
+        pts_fin, m_fin, Two_fin = pts_n, obj_m, Two
+
+    e_local, e_world = _finish_one(Two_fin, pts_fin, m_fin, pose_wc)
+    ok = ok_in & jnp.all(jnp.isfinite(e_local)) & (prob > 1e-8)
+    return e_local, prob, ok, pts_fin, m_fin, Two_fin
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg", "pad", "need_single",
@@ -278,6 +313,220 @@ def _extract_packed(depth_u16, flat, cam, cfg, pad, need_single, need_dual):
         sym_types=st, need_single=need_single, need_dual=need_dual)
     return jnp.concatenate([e, p[:, None], v[:, None].astype(e.dtype)],
                            axis=1)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "pad"))
+def _extract_phase_a(depth_u16, flat, cam, cfg, pad):
+    """Phase A of the host-clustered split extraction: stages (a)-(c) for
+    all detections, packed into ONE [pad, row] array for a single async
+    host copy.  Row layout: [pts_w(cap*3) | m2(cap) | battr(cap, sparse
+    mode only) | center_w(3), ok_points, ok_center].
+    """
+    depth = depth_u16.astype(jnp.int32)
+    bb = flat[:pad * 4].reshape(pad, 4).astype(jnp.float32)
+    pose_wc = flat[pad * 6:pad * 6 + 7]
+    ground_plane = flat[pad * 6 + 7:pad * 6 + 11]
+    border_map = None
+    if cfg.open_symmetry and cfg.sparse_symmetry:
+        from ..ops import filters
+        border_map = filters.depth_border_mask(depth, cam.scale)
+
+    def one(bbox):
+        (_, pts_w, _, m2, center_w, okp, okc, battr_v) = _stage_a_one(
+            depth, bbox, pose_wc, ground_plane, cam, cfg,
+            border_map=border_map)
+        parts = [pts_w.reshape(-1), m2.astype(jnp.float32)]
+        if battr_v is not None:
+            parts.append(battr_v)
+        parts.append(jnp.concatenate(
+            [center_w, okp.astype(jnp.float32)[None],
+             okc.astype(jnp.float32)[None]]))
+        return jnp.concatenate(parts)
+
+    return jax.vmap(one)(bb)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "pad", "need_single",
+                                   "need_dual"))
+def _extract_phase_b(depth_u16, flat, a_out, sel_flat, cam, cfg, pad,
+                     need_single, need_dual):
+    """Phase B: stages (e)-(h) + symmetry from the host-selected cluster.
+
+    ``a_out`` is phase A's DEVICE output (no re-upload — the world cloud
+    is sliced out of it); ``sel_flat`` is the host-computed cluster
+    selection mask; ``flat``'s run lane carries the final per-detection
+    validity (points/center/cluster gates folded in by the host).
+    """
+    depth = depth_u16.astype(jnp.int32)
+    bb = flat[:pad * 4].reshape(pad, 4).astype(jnp.float32)
+    run = flat[pad * 4:pad * 5] > 0.5
+    st = flat[pad * 5:pad * 6].astype(jnp.int32)
+    pose_wc = flat[pad * 6:pad * 6 + 7]
+    ground_plane = flat[pad * 6 + 7:pad * 6 + 11]
+    cap = cfg.cloud_capacity
+    sparse = cfg.open_symmetry and cfg.sparse_symmetry
+    proj_depth = (bp.proj_depth_map(depth, cam) if cfg.open_symmetry
+                  else None)
+    sel = sel_flat.reshape(pad, cap) > 0.5
+
+    def one(bbox, run_i, sym_type, row, sel_i):
+        pts_w = row[:cap * 3].reshape(cap, 3)
+        battr_v = row[cap * 4:cap * 5] if sparse else None
+        Two, pts_n, obj_m, sym_src = _stage_post_one(
+            pts_w, sel_i, battr_v, pose_wc, ground_plane, cam, cfg)
+        return _sym_finish_one(Two, pts_n, obj_m, sym_src, run_i, bbox,
+                               sym_type, pose_wc, proj_depth, cam, cfg,
+                               need_single, need_dual)
+
+    e, p, ok, _, _, _ = jax.vmap(one)(bb, run, st, a_out, sel)
+    return jnp.concatenate([e, p[:, None], ok[:, None].astype(e.dtype)],
+                           axis=1)
+
+
+def _select_cluster_np(pts_w, mask, labels, center, min_size, center_dis):
+    """Host mirror of ops.cluster.select_cluster (same semantics,
+    EllipsoidExtractor.cpp:675-736). Returns (sel mask, ok)."""
+    import numpy as np
+    N = len(pts_w)
+    valid = mask & (labels < N)
+    lab = labels[valid]
+    sizes = np.zeros(N, np.float32)
+    np.add.at(sizes, lab, 1.0)
+    d = np.linalg.norm(pts_w - center, axis=1)
+    min_d = np.full(N, np.inf, np.float32)
+    np.minimum.at(min_d, lab, d[valid].astype(np.float32))
+
+    is_cluster = sizes >= min_size
+    n_clusters = int(is_cluster.sum())
+    near = is_cluster & (min_d < center_dis)
+    size_key = np.where(near, sizes, -1.0)
+    best_near = int(np.argmax(size_key))
+    size_key_all = np.where(is_cluster, sizes, -1.0)
+    best_any = int(np.argmax(size_key_all))
+
+    use_fallback = (n_clusters == 1) and (near.sum() == 0)
+    chosen = best_any if use_fallback else best_near
+    ok = bool(near.sum() > 0 or use_fallback)
+    sel = valid & (labels == chosen) & ok
+    return sel, ok
+
+
+class _PhaseAHandle:
+    """Pending split extraction: phase A dispatched, B not yet."""
+    is_phase_a = True
+    __slots__ = ("a_out", "depth_j", "flat", "pad", "cfg", "need_s",
+                 "need_d", "run", "n")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class SplitExtractor:
+    """Two-phase extractor: device stages (a)-(c), host grid-hash
+    union-find clustering (native/src/cluster.cpp), device stages
+    (e)-(h)+symmetry.
+
+    The O(N^2) on-device min-label clustering was the frame loop's
+    dominant device cost (~5-6 ms of the ~10 ms extraction program,
+    BENCH_DETAILS.md); the host union-find is O(N) and runs during the
+    pipeline's deferral window, so the device only executes the two
+    cheap phases.  ``Tracking`` calls ``midway`` on the handle
+    pipeline_depth//2 frames after dispatch (phase A's async copy has
+    landed by then) and reads phase B's result pipeline_depth-1 frames
+    after that.
+    """
+    two_phase = True
+
+    def __init__(self, cam: Camera, cfg: ExtractorConfig):
+        self.cam = cam
+        self.cfg = cfg
+
+    def __call__(self, depth_u16, bboxes, labels, pose_wc, ground_plane):
+        if ground_plane is None:
+            return None
+        import numpy as np
+        from .symmetry import sym_type_of_labels
+        D = len(bboxes)
+        n = min(D, 32)
+        if D > 32:
+            import logging
+            logging.getLogger("object_oriented_slam_tpu").warning(
+                "frame has %d detections; only the first 32 get 3D "
+                "extraction (the rest fall back to 2D-only)", D)
+        pad = 1
+        while pad < n:
+            pad *= 2
+        st = sym_type_of_labels(labels[:n]).astype(np.int64)
+        flat = np.zeros(pad * 6 + 11, np.float32)
+        if n:
+            flat[:n * 4] = np.asarray(bboxes[:n], np.float32).ravel()
+        flat[pad * 4:pad * 4 + n] = 1.0
+        flat[pad * 5:pad * 5 + n] = st
+        flat[pad * 6:pad * 6 + 7] = pose_wc
+        flat[pad * 6 + 7:] = ground_plane
+        tier = _cloud_tier(bboxes[:n], flat[pad * 4:pad * 4 + n] > 0,
+                           self.cam.height, self.cam.width,
+                           self.cfg.cloud_capacity)
+        cfg_t = (self.cfg if tier == self.cfg.cloud_capacity
+                 else dataclasses.replace(self.cfg, cloud_capacity=tier))
+        depth_j = jnp.asarray(depth_u16)
+        a_out = _extract_phase_a(depth_j, jnp.asarray(flat), self.cam,
+                                 cfg_t, pad)
+        if hasattr(a_out, "copy_to_host_async"):
+            try:
+                a_out.copy_to_host_async()
+            except Exception:
+                pass
+        return _PhaseAHandle(a_out=a_out, depth_j=depth_j, flat=flat,
+                             pad=pad, cfg=cfg_t,
+                             need_s=bool((st == 1).any()),
+                             need_d=bool((st == 2).any()), run=flat[
+                                 pad * 4:pad * 5] > 0.5, n=n)
+
+    def midway(self, h: _PhaseAHandle):
+        """Fetch phase A, cluster+select on the host, dispatch phase B."""
+        import numpy as np
+        from ..io.native_loader import cluster_labels
+        cfg = h.cfg
+        cap = cfg.cloud_capacity
+        sparse = cfg.open_symmetry and cfg.sparse_symmetry
+        a_np = np.asarray(h.a_out)
+        sel_flat = np.zeros((h.pad, cap), np.float32)
+        flat_b = h.flat.copy()
+        for i in range(h.pad):
+            if not h.run[i]:
+                flat_b[h.pad * 4 + i] = 0.0
+                continue
+            row = a_np[i]
+            pts_w = row[:cap * 3].reshape(cap, 3)
+            m2 = row[cap * 3:cap * 4] > 0.5
+            tail = row[cap * (5 if sparse else 4):]
+            center_w, okp, okc = tail[:3], tail[3] > 0.5, tail[4] > 0.5
+            labels = cluster_labels(pts_w, m2, cfg.cluster_tolerance)
+            if labels is None:   # native lib unavailable: degenerate sel
+                raise RuntimeError(
+                    "native cluster library unavailable; use "
+                    "make_extractor (monolithic) instead")
+            sel, okcl = _select_cluster_np(
+                pts_w, m2, labels, center_w, cfg.cluster_min_size,
+                cfg.cluster_center_dis)
+            sel_flat[i] = sel
+            flat_b[h.pad * 4 + i] = float(okp and okc and okcl)
+        b_out = _extract_phase_b(
+            h.depth_j, jnp.asarray(flat_b), h.a_out,
+            jnp.asarray(sel_flat.reshape(-1)), self.cam, cfg, h.pad,
+            h.need_s, h.need_d)
+        return b_out
+
+
+def make_split_extractor(cam: Camera, cfg: ExtractorConfig):
+    """Split extractor when the native cluster library is available,
+    else the monolithic single-program extractor."""
+    from ..io.native_loader import native_available
+    if native_available():
+        return SplitExtractor(cam, cfg)
+    return make_extractor(cam, cfg)
 
 
 def _cloud_tier(bboxes, run, rows, cols, cap_max):

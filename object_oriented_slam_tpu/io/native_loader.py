@@ -32,6 +32,15 @@ def _load_lib():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    if not hasattr(lib, "oslam_cluster_labels"):
+        # stale library from before native/src/cluster.cpp existed
+        try:
+            os.remove(_SO)
+            subprocess.run(["sh", os.path.join(_REPO, "native", "build.sh")],
+                           check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            return None
     lib.oslam_loader_create.restype = ctypes.c_void_p
     lib.oslam_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
@@ -50,12 +59,41 @@ def _load_lib():
     lib.oslam_decode_rgb.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.oslam_cluster_labels.restype = ctypes.c_int
+    lib.oslam_cluster_labels.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_float, ctypes.POINTER(ctypes.c_int32)]
     _LIB = lib
     return lib
 
 
 def native_available() -> bool:
     return _load_lib() is not None
+
+
+def cluster_labels(pts: np.ndarray, mask: np.ndarray,
+                   tol: float) -> Optional[np.ndarray]:
+    """Grid-hash union-find connected components (native/src/cluster.cpp).
+
+    pts: [N, 3] float32; mask: [N] bool.  Returns int32 labels [N] with
+    the ops/cluster.py convention (label = min point index in component,
+    masked points -> N), or None when the native library is unavailable.
+    """
+    lib = _load_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    m = np.ascontiguousarray(mask, np.uint8)
+    n = len(pts)
+    out = np.empty(n, np.int32)
+    rc = lib.oslam_cluster_labels(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, ctypes.c_float(tol),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        return None
+    return out
 
 
 def decode_depth(path: str, max_hw=(480, 640)) -> Optional[np.ndarray]:
