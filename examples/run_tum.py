@@ -39,6 +39,13 @@ def main():
                          "<out>/live.html (a self-reloading WebGL map "
                          "view; open it in a browser during the run)")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--extractor", default="mono",
+                    choices=["mono", "split", "fused"],
+                    help="extraction architecture: mono = one device "
+                         "program incl. on-device clustering (default); "
+                         "split/fused = host-side native grid-hash "
+                         "clustering between two device phases (fused "
+                         "keeps one program per frame)")
     ap.add_argument("--checkpoint", default=None,
                     help="save state checkpoint at the end")
     ap.add_argument("--resume", default=None,
@@ -103,7 +110,16 @@ def main():
             sym_grid=cfg.get_float("EllipsoidExtraction.Symmetry.GridSize",
                                    0.1),
             open_symmetry=open_sym)
-        extractor = make_extractor(cam, ext_cfg)
+        if args.extractor == "mono":
+            extractor = make_extractor(cam, ext_cfg)
+        elif args.extractor == "split":
+            from object_oriented_slam_tpu.frontend import \
+                make_split_extractor
+            extractor = make_split_extractor(cam, ext_cfg)
+        else:
+            from object_oriented_slam_tpu.frontend import \
+                make_fused_extractor
+            extractor = make_fused_extractor(cam, ext_cfg)
         plane_est = make_plane_estimator(cam)
 
     slam = System(args.settings, extractor=extractor,

@@ -422,6 +422,45 @@ class _PhaseAHandle:
             setattr(self, k, v)
 
 
+def _pack_frame(cam: Camera, cfg: ExtractorConfig, depth_u16, bboxes,
+                labels, pose_wc, ground_plane):
+    """Host packing shared by the split/fused extractors: detection
+    padding, symmetry types, the single flat f32 arg vector and the
+    cloud-capacity tier.  Returns a _PhaseAHandle with ``a_out=None``
+    (the caller decides how to dispatch phase A)."""
+    if ground_plane is None:
+        return None
+    import numpy as np
+    from .symmetry import sym_type_of_labels
+    D = len(bboxes)
+    n = min(D, 32)
+    if D > 32:
+        import logging
+        logging.getLogger("object_oriented_slam_tpu").warning(
+            "frame has %d detections; only the first 32 get 3D "
+            "extraction (the rest fall back to 2D-only)", D)
+    pad = 1
+    while pad < n:
+        pad *= 2
+    st = sym_type_of_labels(labels[:n]).astype(np.int64)
+    flat = np.zeros(pad * 6 + 11, np.float32)
+    if n:
+        flat[:n * 4] = np.asarray(bboxes[:n], np.float32).ravel()
+    flat[pad * 4:pad * 4 + n] = 1.0
+    flat[pad * 5:pad * 5 + n] = st
+    flat[pad * 6:pad * 6 + 7] = pose_wc
+    flat[pad * 6 + 7:] = ground_plane
+    tier = _cloud_tier(bboxes[:n], flat[pad * 4:pad * 4 + n] > 0,
+                       cam.height, cam.width, cfg.cloud_capacity)
+    cfg_t = (cfg if tier == cfg.cloud_capacity
+             else dataclasses.replace(cfg, cloud_capacity=tier))
+    return _PhaseAHandle(a_out=None, depth_j=jnp.asarray(depth_u16),
+                         flat=flat, pad=pad, cfg=cfg_t,
+                         need_s=bool((st == 1).any()),
+                         need_d=bool((st == 2).any()),
+                         run=flat[pad * 4:pad * 5] > 0.5, n=n)
+
+
 class SplitExtractor:
     """Two-phase extractor: device stages (a)-(c), host grid-hash
     union-find clustering (native/src/cluster.cpp), device stages
@@ -443,81 +482,61 @@ class SplitExtractor:
         self.cfg = cfg
 
     def __call__(self, depth_u16, bboxes, labels, pose_wc, ground_plane):
-        if ground_plane is None:
+        h = _pack_frame(self.cam, self.cfg, depth_u16, bboxes, labels,
+                        pose_wc, ground_plane)
+        if h is None:
             return None
-        import numpy as np
-        from .symmetry import sym_type_of_labels
-        D = len(bboxes)
-        n = min(D, 32)
-        if D > 32:
-            import logging
-            logging.getLogger("object_oriented_slam_tpu").warning(
-                "frame has %d detections; only the first 32 get 3D "
-                "extraction (the rest fall back to 2D-only)", D)
-        pad = 1
-        while pad < n:
-            pad *= 2
-        st = sym_type_of_labels(labels[:n]).astype(np.int64)
-        flat = np.zeros(pad * 6 + 11, np.float32)
-        if n:
-            flat[:n * 4] = np.asarray(bboxes[:n], np.float32).ravel()
-        flat[pad * 4:pad * 4 + n] = 1.0
-        flat[pad * 5:pad * 5 + n] = st
-        flat[pad * 6:pad * 6 + 7] = pose_wc
-        flat[pad * 6 + 7:] = ground_plane
-        tier = _cloud_tier(bboxes[:n], flat[pad * 4:pad * 4 + n] > 0,
-                           self.cam.height, self.cam.width,
-                           self.cfg.cloud_capacity)
-        cfg_t = (self.cfg if tier == self.cfg.cloud_capacity
-                 else dataclasses.replace(self.cfg, cloud_capacity=tier))
-        depth_j = jnp.asarray(depth_u16)
-        a_out = _extract_phase_a(depth_j, jnp.asarray(flat), self.cam,
-                                 cfg_t, pad)
-        if hasattr(a_out, "copy_to_host_async"):
+        h.a_out = _extract_phase_a(h.depth_j, jnp.asarray(h.flat),
+                                   self.cam, h.cfg, h.pad)
+        if hasattr(h.a_out, "copy_to_host_async"):
             try:
-                a_out.copy_to_host_async()
+                h.a_out.copy_to_host_async()
             except Exception:
                 pass
-        return _PhaseAHandle(a_out=a_out, depth_j=depth_j, flat=flat,
-                             pad=pad, cfg=cfg_t,
-                             need_s=bool((st == 1).any()),
-                             need_d=bool((st == 2).any()), run=flat[
-                                 pad * 4:pad * 5] > 0.5, n=n)
+        return h
 
     def midway(self, h: _PhaseAHandle):
         """Fetch phase A, cluster+select on the host, dispatch phase B."""
-        import numpy as np
-        from ..io.native_loader import cluster_labels
-        cfg = h.cfg
-        cap = cfg.cloud_capacity
-        sparse = cfg.open_symmetry and cfg.sparse_symmetry
-        a_np = np.asarray(h.a_out)
-        sel_flat = np.zeros((h.pad, cap), np.float32)
-        flat_b = h.flat.copy()
-        for i in range(h.pad):
-            if not h.run[i]:
-                flat_b[h.pad * 4 + i] = 0.0
-                continue
-            row = a_np[i]
-            pts_w = row[:cap * 3].reshape(cap, 3)
-            m2 = row[cap * 3:cap * 4] > 0.5
-            tail = row[cap * (5 if sparse else 4):]
-            center_w, okp, okc = tail[:3], tail[3] > 0.5, tail[4] > 0.5
-            labels = cluster_labels(pts_w, m2, cfg.cluster_tolerance)
-            if labels is None:   # native lib unavailable: degenerate sel
-                raise RuntimeError(
-                    "native cluster library unavailable; use "
-                    "make_extractor (monolithic) instead")
-            sel, okcl = _select_cluster_np(
-                pts_w, m2, labels, center_w, cfg.cluster_min_size,
-                cfg.cluster_center_dis)
-            sel_flat[i] = sel
-            flat_b[h.pad * 4 + i] = float(okp and okc and okcl)
-        b_out = _extract_phase_b(
+        flat_b, sel_flat = _host_cluster_select(h)
+        return _extract_phase_b(
             h.depth_j, jnp.asarray(flat_b), h.a_out,
-            jnp.asarray(sel_flat.reshape(-1)), self.cam, cfg, h.pad,
+            jnp.asarray(sel_flat.reshape(-1)), self.cam, h.cfg, h.pad,
             h.need_s, h.need_d)
-        return b_out
+
+
+def _host_cluster_select(hp: _PhaseAHandle):
+    """Fetch phase A's output and run the host middle stage: native
+    grid-hash union-find labels + reference cluster selection per
+    detection.  Returns (flat_b with the final validity folded into the
+    run lane, sel_flat [pad, cap])."""
+    import numpy as np
+    from ..io.native_loader import cluster_labels
+    cfg = hp.cfg
+    cap = cfg.cloud_capacity
+    sparse = cfg.open_symmetry and cfg.sparse_symmetry
+    a_np = np.asarray(hp.a_out)
+    sel_flat = np.zeros((hp.pad, cap), np.float32)
+    flat_b = hp.flat.copy()
+    for i in range(hp.pad):
+        if not hp.run[i]:
+            flat_b[hp.pad * 4 + i] = 0.0
+            continue
+        row = a_np[i]
+        pts_w = row[:cap * 3].reshape(cap, 3)
+        m2 = row[cap * 3:cap * 4] > 0.5
+        tail = row[cap * (5 if sparse else 4):]
+        center_w, okp, okc = tail[:3], tail[3] > 0.5, tail[4] > 0.5
+        labels = cluster_labels(pts_w, m2, cfg.cluster_tolerance)
+        if labels is None:   # native lib unavailable: degenerate sel
+            raise RuntimeError(
+                "native cluster library unavailable; use "
+                "make_extractor (monolithic) instead")
+        sel, okcl = _select_cluster_np(
+            pts_w, m2, labels, center_w, cfg.cluster_min_size,
+            cfg.cluster_center_dis)
+        sel_flat[i] = sel
+        flat_b[hp.pad * 4 + i] = float(okp and okc and okcl)
+    return flat_b, sel_flat
 
 
 def make_split_extractor(cam: Camera, cfg: ExtractorConfig):
@@ -526,6 +545,95 @@ def make_split_extractor(cam: Camera, cfg: ExtractorConfig):
     from ..io.native_loader import native_available
     if native_available():
         return SplitExtractor(cam, cfg)
+    return make_extractor(cam, cfg)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg_cur", "cfg_prev", "pad_cur",
+                                   "pad_prev", "need_single", "need_dual"))
+def _extract_fused(depth_cur, flatA_cur, depth_prev, flatB_prev, abuf_prev,
+                   sel_prev, cam, cfg_cur, cfg_prev, pad_cur, pad_prev,
+                   need_single, need_dual):
+    """ONE device program per frame for the host-clustered pipeline:
+    phase A of the current frame + phase B of the previously dispatched
+    frame (whose cluster the host selected in between).  Keeps the
+    per-frame program count identical to the monolithic extractor — on
+    the tunneled device the per-program overhead (5-30 ms by hour) costs
+    more than the clustering it replaces, so the two-program split is a
+    loss end-to-end while this fusion keeps the saving."""
+    a_out = _extract_phase_a(depth_cur, flatA_cur, cam, cfg_cur, pad_cur)
+    b_out = _extract_phase_b(depth_prev, flatB_prev, abuf_prev, sel_prev,
+                             cam, cfg_prev, pad_prev, need_single,
+                             need_dual)
+    return a_out, b_out
+
+
+class FusedSplitExtractor:
+    """Host-clustered extraction at one device program per frame.
+
+    Per ``step`` call: the oldest pending frame's phase-A output (async
+    copy started at its dispatch, >= 1 frame period ago) is fetched,
+    clustered by the native union-find and cluster-selected on the host;
+    its phase B is then dispatched FUSED with the new frame's phase A.
+    Results therefore arrive tagged for an earlier frame —
+    ``system.Tracking`` keeps a frame-id -> result map and its existing
+    deferral pipeline absorbs the extra frame of latency.
+    """
+    fused = True
+
+    def __init__(self, cam: Camera, cfg: ExtractorConfig):
+        self.cam = cam
+        self.cfg = cfg
+        from collections import deque
+        self._chain = deque()      # pending (frame_id, _PhaseAHandle)
+
+    def step(self, frame_id, depth_u16, bboxes, labels, pose_wc,
+             ground_plane):
+        """Dispatch the frame; returns (ran, [(frame_id, b_out), ...])."""
+        h = _pack_frame(self.cam, self.cfg, depth_u16, bboxes, labels,
+                        pose_wc, ground_plane)
+        if h is None:
+            return False, []
+        results = []
+        if self._chain:
+            fid_prev, hp = self._chain.popleft()
+            flat_b, sel_flat = _host_cluster_select(hp)
+            h.a_out, b_out = _extract_fused(
+                h.depth_j, jnp.asarray(h.flat), hp.depth_j,
+                jnp.asarray(flat_b), hp.a_out,
+                jnp.asarray(sel_flat.reshape(-1)), self.cam, h.cfg,
+                hp.cfg, h.pad, hp.pad, hp.need_s, hp.need_d)
+            results.append((fid_prev, b_out))
+        else:
+            h.a_out = _extract_phase_a(h.depth_j, jnp.asarray(h.flat),
+                                       self.cam, h.cfg, h.pad)
+        if hasattr(h.a_out, "copy_to_host_async"):
+            try:
+                h.a_out.copy_to_host_async()
+            except Exception:
+                pass
+        self._chain.append((frame_id, h))
+        return True, results
+
+    def flush(self):
+        """Run standalone phase B for every pending frame (tail/sync)."""
+        out = []
+        while self._chain:
+            fid, hp = self._chain.popleft()
+            flat_b, sel_flat = _host_cluster_select(hp)
+            b_out = _extract_phase_b(
+                hp.depth_j, jnp.asarray(flat_b), hp.a_out,
+                jnp.asarray(sel_flat.reshape(-1)), self.cam, hp.cfg,
+                hp.pad, hp.need_s, hp.need_d)
+            out.append((fid, b_out))
+        return out
+
+
+def make_fused_extractor(cam: Camera, cfg: ExtractorConfig):
+    """Fused host-clustered extractor when the native library is
+    available, else the monolithic single-program extractor."""
+    from ..io.native_loader import native_available
+    if native_available():
+        return FusedSplitExtractor(cam, cfg)
     return make_extractor(cam, cfg)
 
 

@@ -64,6 +64,11 @@ def _np_se3_mul(a, b):
     return np.concatenate([a[:3] + tb, q / np.linalg.norm(q)])
 
 
+# sentinel: this frame's extraction ran under the fused protocol; the
+# result is (or will be) in Tracking._ext_results[frame_id]
+_FUSED_PENDING = object()
+
+
 def _default_plane_check(plane_world) -> bool:
     """Tracking.cpp:758-772: print the plane, ask Y/N on the terminal.
     Non-interactive runs auto-accept (the reference would block forever
@@ -184,6 +189,7 @@ class Tracking:
         from collections import deque
         self.pipelined = True
         self.pipeline_depth = 4
+        self._ext_results: Dict[int, object] = {}  # fused-protocol results
         self._pending_extraction = deque()
         self._pending_backends = deque()   # (frame_no, est, slots, nobs)
         self._backend_calls = 0
@@ -257,8 +263,24 @@ class Tracking:
                 if with_association and det_mat[i, 7] < 0:
                     run[i] = False
             if np.any(run):
-                ext_out = self.extractor(depth, bboxes, labels,
-                                         pose_wc, self.state.ground_plane)
+                if getattr(self.extractor, "fused", False):
+                    # fused protocol: one device program per frame; the
+                    # result delivered now belongs to an EARLIER frame
+                    ran, results = self.extractor.step(
+                        frame_id, depth, bboxes, labels, pose_wc,
+                        self.state.ground_plane)
+                    for fid, b in results:
+                        if hasattr(b, "copy_to_host_async"):
+                            try:
+                                b.copy_to_host_async()
+                            except Exception:
+                                pass
+                        self._ext_results[fid] = b
+                    ext_out = _FUSED_PENDING if ran else None
+                else:
+                    ext_out = self.extractor(depth, bboxes, labels,
+                                             pose_wc,
+                                             self.state.ground_plane)
 
         # dense visualization map (Tracking.cpp:234-250, config-gated)
         if self.dense_builder is not None and depth is not None:
@@ -322,7 +344,14 @@ class Tracking:
         """
         import time
         tp0 = time.perf_counter()
-        if ext_out is not None and getattr(ext_out, "is_phase_a", False):
+        if ext_out is _FUSED_PENDING:
+            ext_out = self._ext_results.pop(frame_id, None)
+            if ext_out is None:
+                # not delivered by a later step yet: flush the tail
+                for fid, b in self.extractor.flush():
+                    self._ext_results[fid] = b
+                ext_out = self._ext_results.pop(frame_id, None)
+        elif ext_out is not None and getattr(ext_out, "is_phase_a", False):
             # un-midway'd two-phase handle (eager mode or sync flush)
             ext_out = self.extractor.midway(ext_out)
         n_det = det_mat.shape[0]

@@ -99,12 +99,18 @@ def test_split_matches_monolithic(sym, sparse):
     assert m[0, 11] > 0.5          # the scene must actually extract
 
 
-def test_tracking_pipeline_with_split_extractor():
-    """Full tracker over a synthetic sequence: split == monolithic maps,
-    through the midway hook, the deferral queue and sync()."""
+@pytest.mark.parametrize("factory_name", ["split", "fused"])
+def test_tracking_pipeline_with_split_extractor(factory_name):
+    """Full tracker over a synthetic sequence: split/fused == monolithic
+    maps, through the midway hook / fused result map, the deferral queue
+    and sync()."""
+    from object_oriented_slam_tpu.frontend.extractor import \
+        make_fused_extractor
     from object_oriented_slam_tpu.io.synthetic import (SyntheticDataset,
                                                        make_scene)
     from object_oriented_slam_tpu.system import System
+    alt_factory = (make_split_extractor if factory_name == "split"
+                   else make_fused_extractor)
 
     scene = make_scene(n_objects=3, seed=9)
     cam = scene.camera
@@ -130,7 +136,7 @@ def test_tracking_pipeline_with_split_extractor():
             return slam.map_objects
 
         objs_m = run(make_extractor)
-        objs_s = run(make_split_extractor)
+        objs_s = run(alt_factory)
     assert set(objs_s) == set(objs_m) and len(objs_m) >= 1
     # phase A/B are separate XLA programs, so fusion differs from the
     # monolithic graph by f32 round-off; 24 LM frames amplify that to
