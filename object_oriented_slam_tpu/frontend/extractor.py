@@ -580,6 +580,12 @@ class FusedSplitExtractor:
     """
     fused = True
 
+    # consume pending phase-A handles this many steps behind dispatch:
+    # lag 1 blocks on a fetch whose program just entered the device queue
+    # (a fresh blocking fetch costs a full tunnel round trip, 25-100 ms);
+    # lag 2 gives the async copy a full frame period to land
+    chain_lag = 2
+
     def __init__(self, cam: Camera, cfg: ExtractorConfig):
         self.cam = cam
         self.cfg = cfg
@@ -594,7 +600,7 @@ class FusedSplitExtractor:
         if h is None:
             return False, []
         results = []
-        if self._chain:
+        if len(self._chain) >= self.chain_lag:
             fid_prev, hp = self._chain.popleft()
             flat_b, sel_flat = _host_cluster_select(hp)
             h.a_out, b_out = _extract_fused(
@@ -663,56 +669,91 @@ def _cloud_tier(bboxes, run, rows, cols, cap_max):
     return min(cap, cap_max)
 
 
-def make_extractor(cam: Camera, cfg: ExtractorConfig):
-    """Adapter for system.Tracking's extractor hook.
+@partial(jax.jit, static_argnames=("cam", "cfg", "pad", "need_single",
+                                   "need_dual", "layout", "lm_cfg"))
+def _combined_ext_lm(depth_u16, flat, lm_flat, est_prev, K, normal, gset,
+                     cam, cfg, pad, need_single, need_dual, layout,
+                     lm_cfg):
+    """Extraction of frame t + the due global-BA LM of frame t-d as ONE
+    device program — on the tunneled device each program costs a large
+    hour-dependent fixed overhead (5-30 ms measured), so per-frame
+    program count is the dominant end-to-end knob.  ``layout`` is the
+    packed observation-batch layout (tuples of (name, offset, shape))
+    from system.tracking's backend packer."""
+    from ..backend import ObjectObservations, optimize_objects_soa
+    ext = _extract_packed(depth_u16, flat, cam, cfg, pad, need_single,
+                          need_dual)
+    # unpack the flat LM batch (same as tracking._get_unpack)
+    out = {}
+    for name, offi, shp in layout:
+        size = 1
+        for s in shp:
+            size *= s
+        out[name] = jax.lax.dynamic_slice(
+            lm_flat, (offi,), (size,)).reshape(shp)
+    est0 = jnp.where(out["useprev"][:, None] > 0.5, est_prev, out["est0"])
+    obs = ObjectObservations(
+        est0=est0, obj_mask=out["objmask"] > 0.5,
+        pose2d_cw=out["p2"], bbox2d=out["b2"], prob2d=out["pr2"],
+        mask2d=out["m2"] > 0.5,
+        pose3d_wc=out["p3"], meas3d=out["me3"], prob3d=out["pr3"],
+        mask3d=out["m3"] > 0.5)
+    est, chi2 = optimize_objects_soa(obs, K, normal, gset, lm_cfg)
+    return ext, est, chi2
+
+
+class MonolithicExtractor:
+    """Single-program frame extraction (the production default).
 
     Returns a DEVICE array packed [pad, 12] (vec10, prob, valid) so the
     caller can fold it into one host fetch per frame — each fetch costs a
     full tunnel round trip (~25 ms on the remote axon device), so the
     3-array protocol cost more than the extraction itself.
+
+    The detection axis is padded to the next power of two: the extraction
+    work is linear in the padded count, and most frames carry few
+    detections (the bundled cabinet sequence has exactly 1), so compiling
+    a handful of shape variants buys back device time on sparse frames.
+    Detections beyond the 32-slot safety cap fall back to 2D-only
+    observations (tracking masks them invalid).
+
+    ``dispatch_with_lm`` additionally folds the due backend LM call into
+    the same device program (see _combined_ext_lm).
     """
-    import numpy as np
+    supports_lm_fusion = True
 
-    import dataclasses
+    def __init__(self, cam: Camera, cfg: ExtractorConfig):
+        self.cam = cam
+        self.cfg = cfg
 
-    def extractor(depth_u16, bboxes, labels, pose_wc, ground_plane):
-        if ground_plane is None:
+    def __call__(self, depth_u16, bboxes, labels, pose_wc, ground_plane):
+        h = _pack_frame(self.cam, self.cfg, depth_u16, bboxes, labels,
+                        pose_wc, ground_plane)
+        if h is None:
             return None
-        from .symmetry import sym_type_of_labels
-        D = len(bboxes)
-        # pad the detection axis to the next power of two: the extraction
-        # work is linear in the padded count, and most frames carry few
-        # detections (the bundled cabinet sequence has exactly 1), so
-        # compiling a handful of shape variants buys back device time on
-        # sparse frames.  Detections beyond the 32-slot safety cap fall
-        # back to 2D-only observations (tracking masks them invalid).
-        n = min(D, 32)
-        if D > 32:
-            import logging
-            logging.getLogger("object_oriented_slam_tpu").warning(
-                "frame has %d detections; only the first 32 get 3D "
-                "extraction (the rest fall back to 2D-only)", D)
-        pad = 1
-        while pad < n:
-            pad *= 2
-        st = sym_type_of_labels(labels[:n]).astype(np.int64)
-        flat = np.zeros(pad * 6 + 11, np.float32)
-        if n:
-            flat[:n * 4] = np.asarray(bboxes[:n], np.float32).ravel()
-        flat[pad * 4:pad * 4 + n] = 1.0
-        flat[pad * 5:pad * 5 + n] = st
-        flat[pad * 6:pad * 6 + 7] = pose_wc
-        flat[pad * 6 + 7:] = ground_plane
-        # cloud-capacity tier from the frame's largest bbox (exact: the
-        # tier always covers the strided pixel-count bound)
-        tier = _cloud_tier(bboxes[:n], flat[pad * 4:pad * 4 + n] > 0,
-                           cam.height, cam.width, cfg.cloud_capacity)
-        cfg_t = (cfg if tier == cfg.cloud_capacity
-                 else dataclasses.replace(cfg, cloud_capacity=tier))
         # depth ships in its native dtype (u16 halves the upload; the jit
         # casts to int32 on device)
-        return _extract_packed(
-            jnp.asarray(depth_u16), jnp.asarray(flat), cam, cfg_t, pad,
-            bool((st == 1).any()), bool((st == 2).any()))
+        return _extract_packed(h.depth_j, jnp.asarray(h.flat), self.cam,
+                               h.cfg, h.pad, h.need_s, h.need_d)
 
-    return extractor
+    def dispatch_with_lm(self, depth_u16, bboxes, labels, pose_wc,
+                         ground_plane, lm_args):
+        """One program: this frame's extraction + the prepared LM batch.
+
+        lm_args = (lm_flat, est_prev, K, normal, gset, layout, lm_cfg).
+        Returns (ext_out, est, chi2) or None when extraction can't run
+        (the caller then dispatches the LM standalone)."""
+        h = _pack_frame(self.cam, self.cfg, depth_u16, bboxes, labels,
+                        pose_wc, ground_plane)
+        if h is None:
+            return None
+        lm_flat, est_prev, K, normal, gset, layout, lm_cfg = lm_args
+        return _combined_ext_lm(h.depth_j, jnp.asarray(h.flat), lm_flat,
+                                est_prev, K, normal, gset, self.cam,
+                                h.cfg, h.pad, h.need_s, h.need_d, layout,
+                                lm_cfg)
+
+
+def make_extractor(cam: Camera, cfg: ExtractorConfig):
+    """Adapter for system.Tracking's extractor hook (monolithic)."""
+    return MonolithicExtractor(cam, cfg)

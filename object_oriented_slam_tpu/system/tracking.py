@@ -189,6 +189,13 @@ class Tracking:
         from collections import deque
         self.pipelined = True
         self.pipeline_depth = 4
+        # LM fusion: ride the due frame's global-BA LM on the next
+        # extraction program (one device program per frame total) —
+        # per-program overhead on the tunneled device is the dominant
+        # end-to-end cost.  Disabled automatically for distributed
+        # backends and extractors without dispatch_with_lm.
+        self.fuse_lm = True
+        self._deferred_lm = None
         self._ext_results: Dict[int, object] = {}  # fused-protocol results
         self._pending_extraction = deque()
         self._pending_backends = deque()   # (frame_no, est, slots, nobs)
@@ -263,9 +270,22 @@ class Tracking:
                 if with_association and det_mat[i, 7] < 0:
                     run[i] = False
             if np.any(run):
+                # LM fusion: process the due pipeline frame FIRST so its
+                # packed LM batch rides this frame's extraction program —
+                # one device program per frame instead of two
+                self._deferred_lm = None
+                if (self.fuse_lm and self.pipeline_depth >= 2
+                        and self._mesh is None
+                        and getattr(self.extractor, "supports_lm_fusion",
+                                    False)
+                        and len(self._pending_extraction)
+                        >= self.pipeline_depth - 1):
+                    self._process_frame_obs(
+                        *self._pending_extraction.popleft(),
+                        defer_backend=True)
                 if getattr(self.extractor, "fused", False):
-                    # fused protocol: one device program per frame; the
-                    # result delivered now belongs to an EARLIER frame
+                    # fused split protocol: one device program per frame;
+                    # the result delivered now belongs to an EARLIER frame
                     ran, results = self.extractor.step(
                         frame_id, depth, bboxes, labels, pose_wc,
                         self.state.ground_plane)
@@ -277,10 +297,33 @@ class Tracking:
                                 pass
                         self._ext_results[fid] = b
                     ext_out = _FUSED_PENDING if ran else None
+                elif self._deferred_lm is not None:
+                    prep = self._deferred_lm
+                    self._deferred_lm = None
+                    lm_args = (jnp.asarray(prep["flat"]), prep["est_prev"],
+                               jnp.asarray(self.K.astype(np.float32)),
+                               jnp.asarray(prep["normal"]), prep["gset"],
+                               self._lm_layout(self.MAX_OBJECTS,
+                                               prep["M2t"], prep["M3t"]),
+                               self.lm_cfg)
+                    res = self.extractor.dispatch_with_lm(
+                        depth, bboxes, labels, pose_wc,
+                        self.state.ground_plane, lm_args)
+                    if res is None:
+                        self._dispatch_prepared(prep)
+                    else:
+                        ext_out, est, _chi2 = res
+                        self._finish_backend(prep, est)
                 else:
                     ext_out = self.extractor(depth, bboxes, labels,
                                              pose_wc,
                                              self.state.ground_plane)
+                if self._deferred_lm is not None:
+                    # processed frame prepared an LM but this frame's
+                    # dispatch couldn't carry it (e.g. fused-split
+                    # extractor): run it standalone
+                    prep, self._deferred_lm = self._deferred_lm, None
+                    self._dispatch_prepared(prep)
 
         # dense visualization map (Tracking.cpp:234-250, config-gated)
         if self.dense_builder is not None and depth is not None:
@@ -334,13 +377,17 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def _process_frame_obs(self, frame_id, pose_wc, det_mat, ext_out, run,
-                           with_association):
+                           with_association, defer_backend=False):
         """Host-side half of a frame: fetch extraction results, associate,
         store observations, initialize, dispatch the backend.
 
         With ``pipeline_depth>=2`` this runs one frame late (during the
         next frame's device extraction); the processing order and inputs
         per frame are identical to the eager path.
+
+        ``defer_backend``: pack the LM batch into ``self._deferred_lm``
+        instead of dispatching — the caller folds it into the next
+        extraction program (LM fusion).
         """
         import time
         tp0 = time.perf_counter()
@@ -458,7 +505,10 @@ class Tracking:
         # ---- [3] global optimization ----------------------------------
         self._t2 = time.perf_counter()
         if self.open_optimization and self.state.initialized_instances():
-            self._run_backend()
+            if defer_backend:
+                self._deferred_lm = self._prepare_backend()
+            else:
+                self._run_backend()
         self._t3 = time.perf_counter()
         self.metrics["host"].append(self._t3 - tp0)
         if self.pipeline_depth >= 2 and self.extractor is not None:
@@ -675,7 +725,27 @@ class Tracking:
         self._unpack_cache[key] = _unpack
         return _unpack
 
-    def _build_backend_batch(self) -> ObjectObservations:
+    @staticmethod
+    def _lm_layout(O: int, M2t: int, M3t: int):
+        """Hashable packed-batch layout: ((name, offset, shape), ...)."""
+        shapes = [("est0", (O, 10)), ("objmask", (O,)), ("useprev", (O,)),
+                  ("p2", (O, M2t, 7)), ("b2", (O, M2t, 4)),
+                  ("pr2", (O, M2t)), ("m2", (O, M2t)),
+                  ("p3", (O, M3t, 7)), ("me3", (O, M3t, 10)),
+                  ("pr3", (O, M3t)), ("m3", (O, M3t))]
+        layout = []
+        off = 0
+        for name, shp in shapes:
+            layout.append((name, off, shp))
+            off += int(np.prod(shp))
+        return tuple(layout)
+
+    def _pack_backend_batch(self):
+        """Pack the current observation state into the flat f32 batch.
+
+        Returns (flat np, est_prev device, M2t, M3t); also refreshes
+        ``_slot_to_instance`` / ``_prev_batch_slots``.
+        """
         self._slot_to_instance = []
         self._b_objmask[:] = 0.0
         self._b_useprev[:] = 0.0
@@ -713,6 +783,10 @@ class Tracking:
             v["pr2"][:, :M2t].ravel(), v["m2"][:, :M2t].ravel(),
             v["p3"][:, :M3t].ravel(), v["me3"][:, :M3t].ravel(),
             v["pr3"][:, :M3t].ravel(), v["m3"][:, :M3t].ravel()])
+        return flat_t, est_prev, M2t, M3t
+
+    def _build_backend_batch(self) -> ObjectObservations:
+        flat_t, est_prev, M2t, M3t = self._pack_backend_batch()
         return self._get_unpack(M2t, M3t)(jnp.asarray(flat_t), est_prev)
 
     def restore_state(self, state: SlamState):
@@ -765,18 +839,25 @@ class Tracking:
 
         self._opt_fn = jax.jit(fn, static_argnames=("cfg",))
 
-    def _run_backend(self):
-        obs = self._build_backend_batch()
+    def _prepare_backend(self):
+        """Pack the LM batch without dispatching (for LM fusion into the
+        next frame's extraction program).  Returns the prep dict consumed
+        by _dispatch_prepared / dispatch_with_lm + _finish_backend."""
+        flat_t, est_prev, M2t, M3t = self._pack_backend_batch()
         gset = self.state.ground_plane is not None
         normal = (self.state.ground_plane[:3].astype(np.float32)
                   if gset else np.zeros(3, np.float32))
-        est, chi2 = self._opt_fn(obs, jnp.asarray(self.K.astype(np.float32)),
-                                 jnp.asarray(normal), gset, self.lm_cfg)
         # snapshot the per-instance observation counts NOW: the history row
         # written at drain time must pair frame-t estimates with frame-t
         # counts (RefreshObjectHistory semantics, Tracking.cpp:810-852)
         nobs = {inst: len(self.state.objects[inst].obs2d_bbox)
                 for _, inst in self._slot_to_instance}
+        return {"flat": flat_t, "est_prev": est_prev, "M2t": M2t,
+                "M3t": M3t, "gset": gset, "normal": normal, "nobs": nobs,
+                "slots": list(self._slot_to_instance)}
+
+    def _finish_backend(self, prep, est):
+        """Post-dispatch bookkeeping shared by all LM dispatch paths."""
         # next LM call chains from this device array; the host copy (for
         # history/outputs) starts now and is drained once it has landed
         self._est_prev_dev = est
@@ -787,9 +868,22 @@ class Tracking:
                 pass
         self._backend_calls += 1
         self._pending_backends.append(
-            (self._backend_calls, est, list(self._slot_to_instance), nobs))
+            (self._backend_calls, est, prep["slots"], prep["nobs"]))
         if not self.pipelined:
             self._drain_ready_backends(all_pending=True)
+
+    def _dispatch_prepared(self, prep):
+        """Standalone LM dispatch of a prepared batch."""
+        obs = self._get_unpack(prep["M2t"], prep["M3t"])(
+            jnp.asarray(prep["flat"]), prep["est_prev"])
+        est, chi2 = self._opt_fn(obs,
+                                 jnp.asarray(self.K.astype(np.float32)),
+                                 jnp.asarray(prep["normal"]),
+                                 prep["gset"], self.lm_cfg)
+        self._finish_backend(prep, est)
+
+    def _run_backend(self):
+        self._dispatch_prepared(self._prepare_backend())
 
     def _drain_ready_backends(self, all_pending: bool = False):
         """Apply pending backend results in dispatch order.
