@@ -190,11 +190,14 @@ class Tracking:
         self.pipelined = True
         self.pipeline_depth = 4
         # LM fusion: ride the due frame's global-BA LM on the next
-        # extraction program (one device program per frame total) —
-        # per-program overhead on the tunneled device is the dominant
-        # end-to-end cost.  Disabled automatically for distributed
-        # backends and extractors without dispatch_with_lm.
-        self.fuse_lm = True
+        # extraction program (one device program per frame total).  The
+        # right design for real TPU hardware (dispatch is ~us there), but
+        # measured SLOWER on the tunneled axon device (p50 16-17 -> 18-24
+        # ms, A/B 2026-08-21): the loop's critical path is the wait for
+        # the due frame's extraction result, and bundling the LM into
+        # that program lengthens the wait while dispatches are already
+        # overlapped.  Default off here; flip on for local TPUs.
+        self.fuse_lm = False
         self._deferred_lm = None
         self._ext_results: Dict[int, object] = {}  # fused-protocol results
         self._pending_extraction = deque()

@@ -70,6 +70,7 @@ def test_fusion_engages(tmp_path):
     slam = System(yaml, extractor=make_extractor(cam, cfg),
                   plane_estimator=lambda d: np.array([0, -1, 0, 1e-3]))
     slam.open_ground_plane_estimation()
+    slam.tracker.fuse_lm = True
     calls = {"fused": 0}
     orig = slam.tracker.extractor.dispatch_with_lm
 
