@@ -90,9 +90,10 @@ def main():
             ("grid", ExtractorConfig(cloud_capacity=tier, grid_cluster=True),
              False, False),
         ]
-    import jax
+    import os as _os
     import sys as _sys
-    _sys.path.insert(0, "/root/repo")
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
     from bench import roofline
     for name, cfg, ns, nd in variants:
         ms = time_variant(

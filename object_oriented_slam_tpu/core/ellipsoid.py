@@ -246,11 +246,15 @@ def project_bbox_dual(e: jnp.ndarray, pose_cw: jnp.ndarray,
                       jnp.maximum(xa, xb), jnp.maximum(ya, yb)])
 
 
-_CUBE_CORNERS = jnp.array([
+# host-side constant (numpy, NOT jnp: a module-level device array would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multi-process runs)
+import numpy as _np
+_CUBE_CORNERS = _np.array([
     [1, 1, -1, -1, 1, 1, -1, -1],
     [1, -1, -1, 1, 1, -1, -1, 1],
     [-1, -1, -1, -1, 1, 1, 1, 1],
-], dtype=jnp.float32)  # Ellipsoid.cpp:475-477
+], dtype=_np.float32)  # Ellipsoid.cpp:475-477
 
 
 def cube_corners(e: jnp.ndarray) -> jnp.ndarray:

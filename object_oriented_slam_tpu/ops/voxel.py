@@ -12,7 +12,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_INVALID = jnp.int32(2 ** 30)
+import numpy as _np
+
+# numpy (not jnp) so importing the module does not initialize the backend
+_INVALID = _np.int32(2 ** 30)
 
 
 def voxel_cells(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float):

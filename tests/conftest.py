@@ -18,3 +18,8 @@ import jax  # noqa: E402
 # var; force local CPU explicitly for the unit-test mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Keep persistent-cache READS (fast re-runs) but disable writes: the
+# XLA:CPU executable serializer segfaulted the test process mid-suite
+# (jax compilation_cache.put_executable_and_time, observed 2026-08-21);
+# cache writes only matter for the slow remote-TPU compiles anyway.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)

@@ -33,6 +33,12 @@ def test_two_process_distributed_ba(tmp_path):
     outs = [str(tmp_path / f"w{i}.npz") for i in range(2)]
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # worker sets its own device count
+    # the axon sitecustomize registers a remote-TPU PJRT plugin at
+    # interpreter start, which initializes the XLA backend BEFORE the
+    # worker can call jax.distributed.initialize; strip its trigger and
+    # pin the env to CPU for the workers
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in [os.environ.get("PYTHONPATH", ""),
                     os.path.dirname(HERE)] if p)
