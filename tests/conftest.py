@@ -5,6 +5,12 @@ Must set env vars before jax is imported anywhere in the test process.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compile cache in tests: the XLA:CPU executable
+# serializer segfaults the process on cache writes (observed twice,
+# 2026-08-21, jax compilation_cache.put_executable_and_time), and the
+# package __init__ would re-enable writes after any config set here.
+# The env var must be set before object_oriented_slam_tpu is imported.
+os.environ.setdefault("OSLAM_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,8 +24,3 @@ import jax  # noqa: E402
 # var; force local CPU explicitly for the unit-test mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Keep persistent-cache READS (fast re-runs) but disable writes: the
-# XLA:CPU executable serializer segfaulted the test process mid-suite
-# (jax compilation_cache.put_executable_and_time, observed 2026-08-21);
-# cache writes only matter for the slow remote-TPU compiles anyway.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
