@@ -6,7 +6,8 @@ from object_oriented_slam_tpu.core.camera import Camera
 from object_oriented_slam_tpu.ops import filters as fl
 from object_oriented_slam_tpu.system import checkpoint as ckpt
 from object_oriented_slam_tpu.system import metrics as mt
-from object_oriented_slam_tpu.system.dense_builder import DenseBuilder, save_ply
+from object_oriented_slam_tpu.system.dense_builder import (DenseBuilder,
+                                                           save_pcd, save_ply)
 from object_oriented_slam_tpu.system.state import ObjectRecord, SlamState
 
 RNG = np.random.default_rng(21)
@@ -61,6 +62,34 @@ def test_dense_builder_and_ply(tmp_path):
     n1 = len(pts)
     b.process_frame(rgb, depth, pose)
     assert abs(len(b.get_map()[0]) - n1) < n1 * 0.05
+
+
+def test_save_pcd_roundtrip(tmp_path):
+    """PCD export matches the reference's save format (builder.cpp:121-125)."""
+    pts = np.array([[1.0, 2.0, 3.0], [-0.5, 0.25, 4.0]], np.float32)
+    rgb = np.array([[255, 0, 0], [0, 128, 64]], np.float32)  # BGR rows
+    p = str(tmp_path / "map.pcd")
+    save_pcd(p, pts, rgb)
+    with open(p) as f:
+        lines = f.read().splitlines()
+    hdr = {ln.split()[0]: ln.split()[1:] for ln in lines[1:10]}
+    assert hdr["VERSION"] == ["0.7"]
+    assert hdr["FIELDS"] == ["x", "y", "z", "rgb"]
+    assert hdr["POINTS"] == ["2"]
+    assert lines[10].startswith("DATA ascii")
+    data = np.array([[float(v) for v in ln.split()] for ln in lines[11:]])
+    assert np.allclose(data[:, :3], pts, atol=1e-3)
+    # unpack PCL's packed-float rgb: row0 is BGR(255,0,0) = blue
+    packed = data[:, 3].astype(np.float32).view(np.uint32)
+    assert (packed[0] >> 16) & 0xFF == 0 and packed[0] & 0xFF == 255
+    assert (packed[1] >> 8) & 0xFF == 128
+
+    # xyz-only variant
+    p2 = str(tmp_path / "bare.pcd")
+    save_pcd(p2, pts)
+    with open(p2) as f:
+        txt = f.read()
+    assert "FIELDS x y z\n" in txt
 
 
 def test_ate_rmse():

@@ -145,6 +145,59 @@ def test_gravity_prior_pulls_z_axis():
     assert angle < 0.1  # pulled from 0.35 rad toward upright
 
 
+def test_check_visibility_gate():
+    """Optional checkVisibility edge gate (Optimizer.cpp:35-81,232)."""
+    from object_oriented_slam_tpu.backend import lm_soa as soa
+    e0 = np.array([[0, 0, 0, 0, 0, 0, 1, 0.5, 0.3, 0.25]], np.float32)
+    # four camera poses (Tcw) along the M2 axis:
+    #  0: camera 3m behind origin looking +z -> visible
+    #  1: camera 3m past the object (object behind camera) -> invisible
+    #  2: camera at the object center (inside the quadric) -> invisible
+    #  3: object 100m off-axis -> projects far outside the image
+    tcw = (np.array([[0.0, 0.0, 0.0, 100.0]], np.float32),
+           np.zeros((1, 4), np.float32),
+           np.array([[3.0, -3.0, 0.0, 3.0]], np.float32))
+    qcw = (np.zeros((1, 4), np.float32), np.zeros((1, 4), np.float32),
+           np.zeros((1, 4), np.float32), np.ones((1, 4), np.float32))
+    vis = np.asarray(soa.soa_visibility2d(
+        jnp.asarray(e0), tuple(jnp.asarray(t) for t in tcw),
+        tuple(jnp.asarray(q) for q in qcw), jnp.asarray(K), 480, 640))
+    assert list(vis[0]) == [True, False, False, False]
+
+    # end-to-end: with the gate on, all-behind-camera 2D edges drop and
+    # the estimate stays at est0; with the gate off (the default,
+    # matching the reference) the garbage projections move it
+    gt = np.array([0.2, -0.1, 0.4, 0, 0, 0, 1, 0.5, 0.3, 0.25], np.float32)
+    est0 = np.tile(gt, (O, 1))
+    est0[0, 0] += 0.2
+    obj_mask = np.zeros(O, bool)
+    obj_mask[0] = True
+    obs = empty_obs(est0, obj_mask)
+    # camera at z=+3 looking +z: object sits behind it
+    behind_cw = np.array([0, 0, -3, 0, 0, 0, 1], np.float32)
+    nb = 5
+    obs = obs._replace(
+        pose2d_cw=obs.pose2d_cw.at[0, :nb].set(jnp.asarray(behind_cw)),
+        bbox2d=obs.bbox2d.at[0, :nb].set(
+            jnp.asarray(np.array([300.0, 220, 340, 260], np.float32))),
+        prob2d=obs.prob2d.at[0, :nb].set(1.0),
+        mask2d=obs.mask2d.at[0, :nb].set(True),
+    )
+    from object_oriented_slam_tpu.backend import optimize_objects_soa
+    cfg_on = LMConfig(gravity_on=False, check_visibility=True)
+    est_on, _ = optimize_objects_soa(obs, jnp.asarray(K), jnp.zeros(3),
+                                     False, cfg_on)
+    assert np.allclose(np.asarray(est_on[0]), est0[0], atol=1e-6)
+    cfg_off = LMConfig(gravity_on=False)
+    est_off, _ = optimize_objects_soa(obs, jnp.asarray(K), jnp.zeros(3),
+                                      False, cfg_off)
+    assert not np.allclose(np.asarray(est_off[0]), est0[0], atol=1e-3)
+    # AoS path honors the same gate
+    est_aos, _ = optimize_objects(obs, jnp.asarray(K), jnp.zeros(3),
+                                  False, cfg_on)
+    assert np.allclose(np.asarray(est_aos[0]), est0[0], atol=1e-6)
+
+
 def test_residual_proj_invalid_coords_zero():
     e = jnp.asarray(np.array([0, 0, 4, 0, 0, 0, 1, 0.5, 0.5, 0.5], np.float32))
     meas = jnp.asarray(np.array([-1.0, 200, 400, 300], np.float32))

@@ -5,6 +5,10 @@ bbox so tiered extraction equals full-capacity extraction, and (b) be
 computed on the host without touching device state (regression: it once
 referenced an unimported STRIDE and raised NameError on every frame).
 """
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from object_oriented_slam_tpu.core import se3
 from object_oriented_slam_tpu.core.camera import Camera
 from object_oriented_slam_tpu.frontend import (ExtractorConfig,

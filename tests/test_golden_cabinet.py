@@ -16,8 +16,8 @@ from object_oriented_slam_tpu.system import System
 CABINET = "/root/reference/Example/dataset/cabinet/"
 YAML = "/root/reference/Example/param/TUM3.yaml"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(CABINET),
-                                reason="cabinet dataset unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.exists(CABINET),
+                                reason="cabinet dataset unavailable")]
 
 # golden vec10 of instance 0 from the 2D-only slice (center/quat/scale)
 GOLDEN_CENTER = np.array([-1.530, 0.462, 0.220])

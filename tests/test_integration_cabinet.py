@@ -16,8 +16,8 @@ from object_oriented_slam_tpu.system import System
 CABINET = "/root/reference/Example/dataset/cabinet/"
 YAML = "/root/reference/Example/param/TUM3.yaml"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(CABINET),
-                                reason="cabinet dataset unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.exists(CABINET),
+                                reason="cabinet dataset unavailable")]
 
 
 @pytest.fixture(scope="module")

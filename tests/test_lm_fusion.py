@@ -8,6 +8,8 @@ same warm-start chaining, only the dispatch vehicle differs.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from object_oriented_slam_tpu.frontend import (ExtractorConfig,
                                                make_extractor)
 from object_oriented_slam_tpu.io.synthetic import SyntheticDataset, make_scene

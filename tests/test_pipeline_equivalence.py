@@ -9,6 +9,8 @@ runs with the same inputs, so after sync() the maps of the eager
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from object_oriented_slam_tpu.core.camera import Camera
 from object_oriented_slam_tpu.frontend import (ExtractorConfig,
                                                make_extractor,

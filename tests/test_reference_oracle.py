@@ -32,8 +32,8 @@ from object_oriented_slam_tpu.io import TUMDataset
 CABINET = "/root/reference/Example/dataset/cabinet/"
 CAM = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0)
 
-pytestmark = pytest.mark.skipif(not os.path.exists(CABINET),
-                                reason="cabinet dataset unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.exists(CABINET),
+                                reason="cabinet dataset unavailable")]
 
 
 def _cabinet_frame(k=20):

@@ -11,6 +11,8 @@ measuring the gap to the full-graph f64 optimum.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from object_oriented_slam_tpu.io.synthetic import (SyntheticDataset,
                                                    make_scene)
 from object_oriented_slam_tpu.system import System

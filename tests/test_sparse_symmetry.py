@@ -19,6 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from object_oriented_slam_tpu.core.camera import Camera
 from object_oriented_slam_tpu.frontend import symmetry as sym
 from object_oriented_slam_tpu.ops import backproject as bp

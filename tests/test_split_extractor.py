@@ -21,8 +21,8 @@ from object_oriented_slam_tpu.io.native_loader import (cluster_labels,
                                                        native_available)
 from object_oriented_slam_tpu.ops import cluster as cl
 
-pytestmark = pytest.mark.skipif(not native_available(),
-                                reason="native library unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not native_available(),
+                                reason="native library unavailable")]
 
 CAM = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0,
              width=640, height=480)

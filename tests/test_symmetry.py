@@ -1,4 +1,8 @@
 """Symmetry estimation tests on analytically mirrored clouds."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -5,6 +5,10 @@ these tests use io/synthetic.py's analytically rendered scenes to
 exercise many-object capacity and score the recovered map against the
 true quadrics (SURVEY.md section 4 "Implication for the new framework").
 """
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 
