@@ -30,6 +30,9 @@ def main():
                     help="automatic data association instead of column 7")
     ap.add_argument("--odometry", default=None,
                     help="odometry txt (ts x y z qx qy qz qw)")
+    ap.add_argument("--map-format", default="ply", choices=["ply", "pcd"],
+                    help="dense-map export format (pcd = the reference's "
+                         "pcl::io::savePCDFile, builder.cpp:121-125)")
     ap.add_argument("--build-dense", action="store_true",
                     help="accumulate a dense colored map (PLY)")
     ap.add_argument("--viz", action="store_true",
@@ -192,8 +195,9 @@ def main():
         print(f"  #{inst}: {np.round(v, 4)}")
 
     if builder is not None:
-        builder.save_ply(os.path.join(args.out, "map.ply"))
-        print("Saved dense map.ply")
+        ext = "pcd" if args.map_format == "pcd" else "ply"
+        builder.save_map(os.path.join(args.out, f"map.{ext}"))
+        print(f"Saved dense map.{ext}")
     if args.viz:
         from object_oriented_slam_tpu.viz.export import render_map
         traj = np.stack(slam.tracker.state.frames_pose_wc)[:, :3]

@@ -75,6 +75,11 @@ class LMConfig(NamedTuple):
     huber_delta: float = 0.0         # >0 enables the Huber kernel the
                                      # reference keeps disabled
                                      # (Optimizer.cpp:224)
+    check_visibility: bool = False   # the optional 2D-edge visibility
+                                     # gate, disabled by default like
+                                     # Optimizer.cpp:232 ('c1')
+    vis_rows: int = 480              # image size for the in-image test
+    vis_cols: int = 640              # (Optimizer.cpp:20-27)
 
 
 def _huber_weight(r_edge: jnp.ndarray, delta: float) -> jnp.ndarray:
@@ -138,6 +143,16 @@ def _solve_object(e0, obs: ObjectObservations, o_idx, K, normal,
         obs.pose2d_cw[o_idx], obs.bbox2d[o_idx])
     finite2d = jnp.all(jnp.isfinite(r2_init), axis=1)
     w2d = jnp.where(finite2d, w2d, 0.0)
+
+    # --- optional visibility gate (Optimizer.cpp:35-81, off by default) -
+    if cfg.check_visibility:
+        from . import lm_soa as _soa  # local import: lm_soa imports lm
+        p2 = obs.pose2d_cw[o_idx][None]                    # [1, M2, 7]
+        vis = _soa.soa_visibility2d(
+            e0[None], tuple(p2[:, :, k] for k in range(3)),
+            tuple(p2[:, :, 3 + k] for k in range(4)), K,
+            cfg.vis_rows, cfg.vis_cols)[0]
+        w2d = jnp.where(vis, w2d, 0.0)
 
     # hoist estimate-independent 3D-measurement work out of the LM loop
     pre3d = jax.vmap(res.precompute_3d_measurement)(

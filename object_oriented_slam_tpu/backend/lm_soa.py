@@ -211,13 +211,13 @@ def _exp_update(est10, u9):
 # Residual chains (componentwise over [O, M] observation grids)
 # ---------------------------------------------------------------------------
 
-def _proj_residual_soa(e, tcw, qcw, bbox, fx, fy, cx, cy):
-    """2D conic-projection residual; 4-tuple of [O, M2] arrays.
+def _proj_bbox_soa(e, tcw, qcw, fx, fy, cx, cy):
+    """Projected ellipse bbox; 4-tuple (x1,y1,x2,y2) of [O, M2] arrays.
 
-    Mirrors core/ellipsoid.project_ellipse + ellipse_to_bbox +
-    residuals.residual_proj (Ellipsoid.cpp:209-273 formulas), with every
-    3x3 product unrolled over the [O, M2] grid.  ``e`` is the per-object
-    estimate as a 10-tuple of [O, 1] arrays.
+    Mirrors core/ellipsoid.project_ellipse + ellipse_to_bbox
+    (Ellipsoid.cpp:209-273 formulas), with every 3x3 product unrolled
+    over the [O, M2] grid.  ``e`` is the per-object estimate as a
+    10-tuple of [O, 1] arrays.
     """
     # R_cw per obs, R/scale/t per object (broadcast [O,1] over [O,M2])
     Rcw = _qtomat((qcw[0], qcw[1], qcw[2], qcw[3]))
@@ -290,9 +290,70 @@ def _proj_residual_soa(e, tcw, qcw, bbox, fx, fy, cx, cy):
     s2t = 1.0 - c2t
     x_lim = jnp.sqrt(ax1 * ax1 * c2t + ax2 * ax2 * s2t)
     y_lim = jnp.sqrt(ax1 * ax1 * s2t + ax2 * ax2 * c2t)
-    proj = (x_c - x_lim, y_c - y_lim, x_c + x_lim, y_c + y_lim)
+    return (x_c - x_lim, y_c - y_lim, x_c + x_lim, y_c + y_lim)
+
+
+def _proj_residual_soa(e, tcw, qcw, bbox, fx, fy, cx, cy):
+    """2D conic-projection residual; 4-tuple of [O, M2] arrays.
+
+    residuals.residual_proj semantics: border coords (< 5) are skipped
+    (BasicEllipsoidEdges.cpp:102-112).
+    """
+    proj = _proj_bbox_soa(e, tcw, qcw, fx, fy, cx, cy)
     return tuple(jnp.where(bbox[k] >= 5.0, proj[k] - bbox[k], 0.0)
                  for k in range(4))
+
+
+def soa_visibility2d(est0, tcw, qcw, K, rows, cols):
+    """[O,M2] visibility mask of 2D edges at the initial estimate.
+
+    Replicates the optional ``checkVisibility`` edge gate the reference
+    keeps disabled (/root/reference/src/core/Optimizer.cpp:35-81,232):
+    an edge is dropped when (1) the object center is behind the camera,
+    (2) the camera center lies inside the quadric (ill-conditioned
+    projection), or (3) neither the projected center nor either corner
+    of the projected bbox lies strictly inside the image
+    (isInImage, Optimizer.cpp:20-27: 0 < u < cols and 0 < v < rows).
+    Like the reference, the test runs once at graph-build time against
+    the initial estimates.
+    """
+    e0 = tuple(est0[:, k:k + 1] for k in range(10))
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    Rcw = _qtomat((qcw[0], qcw[1], qcw[2], qcw[3]))
+
+    # object center in the camera frame: Pc = Rcw @ Pw + tcw
+    pc = tuple(Rcw[i][0] * e0[0] + Rcw[i][1] * e0[1] + Rcw[i][2] * e0[2]
+               + tcw[i] for i in range(3))
+    in_front = pc[2] >= 0.0                       # Optimizer.cpp:49-52
+
+    # camera center in world: Xw = -Rcw^T tcw; inside test in the
+    # ellipsoid frame: sum((Robj^T (Xw - t_obj) / s)^2) < 1 equals
+    # X^T Q X < 0 of Optimizer.cpp:55-62
+    xw = tuple(-(Rcw[0][i] * tcw[0] + Rcw[1][i] * tcw[1]
+                 + Rcw[2][i] * tcw[2]) for i in range(3))
+    Robj = _qtomat((e0[3], e0[4], e0[5], e0[6]))
+    d = (xw[0] - e0[0], xw[1] - e0[1], xw[2] - e0[2])
+    lo = tuple(Robj[0][i] * d[0] + Robj[1][i] * d[1] + Robj[2][i] * d[2]
+               for i in range(3))
+    q_val = sum((lo[i] / jnp.maximum(jnp.abs(e0[7 + i]), 1e-8)) ** 2
+                for i in range(3))
+    outside = q_val >= 1.0
+
+    # projected center (Optimizer.cpp:64-70)
+    zden = jnp.where(jnp.abs(pc[2]) > 1e-8, pc[2], 1e-8)
+    u = fx * pc[0] / zden + cx
+    v = fy * pc[1] / zden + cy
+
+    def in_img(x, y):
+        return (x > 0) & (x < cols) & (y > 0) & (y < rows)
+
+    center_in = in_img(u, v)
+
+    # else: either projected-bbox corner in image (Optimizer.cpp:73-77)
+    x1, y1, x2, y2 = _proj_bbox_soa(e0, tcw, qcw, fx, fy, cx, cy)
+    corner_in = in_img(x1, y1) | in_img(x2, y2)
+
+    return in_front & outside & (center_in | corner_in)
 
 
 def _precompute_3d_soa(p3, me3):
@@ -504,6 +565,11 @@ def optimize_objects_soa(obs: ObjectObservations, K: jnp.ndarray,
     # NaN gate at the initial estimate (Optimizer.cpp:234-243)
     w2d = jnp.where(soa_finite2d(obs.est0, prep[0], prep[1], prep[2], K),
                     w2d, 0.0)
+    # optional visibility gate (Optimizer.cpp:35-81, off by default)
+    if cfg.check_visibility:
+        w2d = jnp.where(soa_visibility2d(obs.est0, prep[0], prep[1], K,
+                                         cfg.vis_rows, cfg.vis_cols),
+                        w2d, 0.0)
 
     hd = cfg.huber_delta
     eye9 = jnp.eye(9, dtype=f32)

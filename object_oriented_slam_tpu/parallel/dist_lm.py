@@ -57,6 +57,11 @@ def _sharded_body(est0, obj_mask, p2, b2, pr2, m2, p3, me3, pr3, m3,
     # ---- NaN gate at initial estimates (Optimizer.cpp:234-243) ------------
     w2d = jnp.where(soa.soa_finite2d(est0, prep[0], prep[1], prep[2], K),
                     w2d, 0.0)
+    # optional visibility gate (Optimizer.cpp:35-81, off by default)
+    if cfg.check_visibility:
+        w2d = jnp.where(soa.soa_visibility2d(est0, prep[0], prep[1], K,
+                                             cfg.vis_rows, cfg.vis_cols),
+                        w2d, 0.0)
 
     hd = cfg.huber_delta
 

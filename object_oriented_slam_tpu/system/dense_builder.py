@@ -72,9 +72,52 @@ class DenseBuilder:
         pts, rgb = self.get_map()
         save_ply(path, pts, rgb)
 
+    def save_pcd(self, path: str):
+        pts, rgb = self.get_map()
+        save_pcd(path, pts, rgb)
+
+    def save_map(self, path: str):
+        """Format chosen by extension (.pcd like the reference, else PLY)."""
+        if path.lower().endswith(".pcd"):
+            self.save_pcd(path)
+        else:
+            self.save_ply(path)
+
+
+def save_pcd(path: str, pts: np.ndarray, rgb: np.ndarray = None):
+    """ASCII PCD v0.7 export — the format the reference saves
+    (``pcl::io::savePCDFile``, builder.cpp:121-125), loadable by PCL and
+    its viewers.  ``rgb`` rows are BGR floats as stored by the builder
+    (cv2 channel order); packed into PCL's single float rgb field.
+    """
+    n = len(pts)
+    with_rgb = rgb is not None
+    fields = "x y z rgb" if with_rgb else "x y z"
+    k = 4 if with_rgb else 3
+    with open(path, "w") as f:
+        f.write("# .PCD v0.7 - Point Cloud Data file format\n")
+        f.write("VERSION 0.7\n")
+        f.write(f"FIELDS {fields}\n")
+        f.write("SIZE" + " 4" * k + "\n")
+        f.write("TYPE" + " F" * k + "\n")
+        f.write("COUNT" + " 1" * k + "\n")
+        f.write(f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n")
+        f.write(f"POINTS {n}\nDATA ascii\n")
+        if with_rgb:
+            c = np.clip(rgb, 0, 255).astype(np.uint32)
+            packed = (c[:, 2] << 16) | (c[:, 1] << 8) | c[:, 0]  # BGR->RGB
+            packed_f = packed.view(np.float32) if packed.dtype.itemsize == 4 \
+                else packed.astype(np.uint32).view(np.float32)
+            for i in range(n):
+                f.write(f"{pts[i, 0]:.4f} {pts[i, 1]:.4f} {pts[i, 2]:.4f} "
+                        f"{packed_f[i]:.9e}\n")
+        else:
+            for i in range(n):
+                f.write(f"{pts[i, 0]:.4f} {pts[i, 1]:.4f} {pts[i, 2]:.4f}\n")
+
 
 def save_ply(path: str, pts: np.ndarray, rgb: np.ndarray = None):
-    """ASCII PLY export (replaces PCL PCD save, builder.cpp:121-125)."""
+    """ASCII PLY export (alternative to the reference's PCD save)."""
     n = len(pts)
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")

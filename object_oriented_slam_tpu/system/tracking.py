@@ -121,6 +121,12 @@ class Tracking:
             scale_3d=config.get_float("Optimizer.Edges.3DEllipsoid.Scale", 1.0),
             gravity_scale=config.get_float("Optimizer.Edges.GravityPrior.Scale", 1.0),
             gravity_on=config.get_int("Optimizer.Edges.GravityPrior.Open") == 1,
+            # the reference hardcodes check_visibility=false at the call
+            # site (Optimizer.cpp:232 'c1'); here it is a config key,
+            # still off by default
+            check_visibility=config.get_int(
+                "Optimizer.Edges.2DProjection.CheckVisibility") == 1,
+            vis_rows=self.rows, vis_cols=self.cols,
         )
         self.border_px = config.get_int("Measurement.Border.Pixels")
         self.length_limit_px = config.get_int("Measurement.LengthLimit.Pixels")
@@ -275,7 +281,15 @@ class Tracking:
             if np.any(run):
                 # LM fusion: process the due pipeline frame FIRST so its
                 # packed LM batch rides this frame's extraction program —
-                # one device program per frame instead of two
+                # one device program per frame instead of two.
+                # NOTE: popping before this frame's dispatch means the due
+                # frame is consumed one dispatch earlier than the normal
+                # pipeline pop below, shrinking the window for its
+                # extraction result's async copy to land by one frame
+                # period — part of why fuse_lm measures slower on the
+                # tunneled device (BENCH_DETAILS round-2 A/B) and
+                # defaults off there; on local TPUs the fetch is cheap
+                # and the one-program-per-frame win dominates.
                 self._deferred_lm = None
                 if (self.fuse_lm and self.pipeline_depth >= 2
                         and self._mesh is None
@@ -327,6 +341,21 @@ class Tracking:
                     # extractor): run it standalone
                     prep, self._deferred_lm = self._deferred_lm, None
                     self._dispatch_prepared(prep)
+
+        # fused-protocol housekeeping on frames that dispatched no
+        # extraction: consume pending phase-A handles that are already
+        # chain_lag frames old, so detection-sparse stretches don't leave
+        # them for the flush() fallback (which would also run the
+        # youngest handle's phase B against a just-dispatched async copy
+        # — a blocking fresh-fetch round trip on the tunnel)
+        if ext_out is None and getattr(self.extractor, "fused", False):
+            for fid, b in self.extractor.drain(frame_id):
+                if hasattr(b, "copy_to_host_async"):
+                    try:
+                        b.copy_to_host_async()
+                    except Exception:
+                        pass
+                self._ext_results[fid] = b
 
         # dense visualization map (Tracking.cpp:234-250, config-gated)
         if self.dense_builder is not None and depth is not None:
