@@ -591,6 +591,12 @@ class FusedSplitExtractor:
         self.cfg = cfg
         from collections import deque
         self._chain = deque()      # pending (frame_id, _PhaseAHandle)
+        # monotone cloud-capacity tier: _extract_fused is jit-static over
+        # BOTH frames' (cfg, pad), so free per-frame tiering would compile
+        # up to tiers^2 adjacent-pair variants (2-60 s each on the
+        # tunneled remote service).  Growing-only tiers bound that to one
+        # mixed pair per growth step, like the backend's tier policy.
+        self._tier = 0
 
     def step(self, frame_id, depth_u16, bboxes, labels, pose_wc,
              ground_plane):
@@ -599,6 +605,9 @@ class FusedSplitExtractor:
                         pose_wc, ground_plane)
         if h is None:
             return False, []
+        self._tier = max(self._tier, h.cfg.cloud_capacity)
+        if h.cfg.cloud_capacity != self._tier:
+            h.cfg = dataclasses.replace(h.cfg, cloud_capacity=self._tier)
         results = []
         if len(self._chain) >= self.chain_lag:
             fid_prev, hp = self._chain.popleft()
@@ -620,17 +629,33 @@ class FusedSplitExtractor:
         self._chain.append((frame_id, h))
         return True, results
 
+    def _phase_b_standalone(self, fid, hp):
+        flat_b, sel_flat = _host_cluster_select(hp)
+        b_out = _extract_phase_b(
+            hp.depth_j, jnp.asarray(flat_b), hp.a_out,
+            jnp.asarray(sel_flat.reshape(-1)), self.cam, hp.cfg,
+            hp.pad, hp.need_s, hp.need_d)
+        return fid, b_out
+
+    def drain(self, current_frame_id):
+        """Consume pending handles >= chain_lag frames old without a new
+        dispatch.  Tracking calls this on frames that dispatch no
+        extraction (no runnable detections), so due handles — whose
+        phase-A async copy has long landed — don't pile up until a
+        sync-time ``flush`` that would also standalone-run the youngest
+        handle and block on a fresh tunnel fetch (25-100 ms).
+        """
+        out = []
+        while (self._chain and current_frame_id - self._chain[0][0]
+               >= self.chain_lag):
+            out.append(self._phase_b_standalone(*self._chain.popleft()))
+        return out
+
     def flush(self):
         """Run standalone phase B for every pending frame (tail/sync)."""
         out = []
         while self._chain:
-            fid, hp = self._chain.popleft()
-            flat_b, sel_flat = _host_cluster_select(hp)
-            b_out = _extract_phase_b(
-                hp.depth_j, jnp.asarray(flat_b), hp.a_out,
-                jnp.asarray(sel_flat.reshape(-1)), self.cam, hp.cfg,
-                hp.pad, hp.need_s, hp.need_d)
-            out.append((fid, b_out))
+            out.append(self._phase_b_standalone(*self._chain.popleft()))
         return out
 
 

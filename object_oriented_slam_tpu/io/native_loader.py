@@ -18,28 +18,57 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
 _SO = os.path.join(_REPO, "native", "lib", "liboslam_native.so")
 
 
+def _build_locked() -> bool:
+    """Run native/build.sh under an exclusive file lock.
+
+    build.sh writes to a temp path and atomically renames into place, so
+    readers never see a partial .so; the lock additionally serializes
+    concurrent builders (pytest workers, the 2-process distributed test,
+    multi-rank jobs) so they don't duplicate the compile.
+    """
+    lock_path = os.path.join(_REPO, "native", "lib", ".build.lock")
+    try:
+        os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+        import fcntl
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                # another process may have finished the build while we
+                # waited on the lock
+                if os.path.exists(_SO):
+                    probe = ctypes.CDLL(_SO)
+                    if hasattr(probe, "oslam_cluster_labels"):
+                        return True
+                subprocess.run(
+                    ["sh", os.path.join(_REPO, "native", "build.sh")],
+                    check=True, capture_output=True)
+                return True
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+    except Exception:
+        return False
+
+
 def _load_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(["sh", os.path.join(_REPO, "native", "build.sh")],
-                           check=True, capture_output=True)
-        except Exception:
-            return None
+    if not os.path.exists(_SO) and not _build_locked():
+        return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
     if not hasattr(lib, "oslam_cluster_labels"):
-        # stale library from before native/src/cluster.cpp existed
+        # stale library from before native/src/cluster.cpp existed;
+        # rebuild replaces it atomically (no removal window)
+        if not _build_locked():
+            return None
         try:
-            os.remove(_SO)
-            subprocess.run(["sh", os.path.join(_REPO, "native", "build.sh")],
-                           check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)
-        except Exception:
+        except OSError:
+            return None
+        if not hasattr(lib, "oslam_cluster_labels"):
             return None
     lib.oslam_loader_create.restype = ctypes.c_void_p
     lib.oslam_loader_create.argtypes = [
