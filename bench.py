@@ -1,26 +1,34 @@
-"""Benchmark: per-frame backend BA time on the cabinet workload.
+"""Benchmark: END-TO-END per-frame time on the cabinet workload.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Workload: the real observation set produced by running the bundled TUM
-fr3_cabinet sequence (58 frames, manual association) -- the same
-every-frame full-graph optimization the reference performs
-(src/core/Optimizer.cpp:83-317, 10 LM iterations, dense solve).
+Headline metric (``e2e_ms_per_frame``): the full 58-frame TUM
+fr3_cabinet pipeline — ground-plane estimation, per-detection ellipsoid
+extraction with symmetry completion, association, SVD/3D init, and the
+per-frame global object-graph BA — i.e. the reference's whole
+``Tracking::GrabPoseAndObjects`` hot path
+(/root/reference/src/core/Tracking.cpp:170-204), timed as a second
+(warm) pass over the sequence on the attached device.
 
-value     = our batched-LM backend (SoA layout, backend/lm_soa.py), ms per
-            frame, on the available device (TPU under the driver; the batch
-            is the tracker's tiered pack -- 24 object slots at the smallest
-            power-of-two observation capacity holding the real counts,
-            exactly what the production loop dispatches every frame).
-baseline  = single-threaded float64 numpy implementation of the identical
-            graph optimization with g2o-style numeric jacobians, timed on
-            this machine's CPU -- a stand-in for the reference's C++/g2o
-            backend (same flop structure: per-edge conic projection errors,
-            central-difference jacobians, dense normal equations), since the
-            reference's PCL/Pangolin stack cannot be built in this image.
-vs_baseline = baseline_ms / value_ms  (>1 means faster than baseline).
+Baseline (``vs_baseline``): the float64 oracle chain on this machine's
+CPU — the numpy frontend replica of EstimateLocalEllipsoid + symmetry
+(tests/oracle_frontend.py, written from the C++ sources) timed on
+sample frames, plus a full-edge-set f64 backend replica (2D projection
++ 3D ellipsoid + gravity edges, g2o-style numeric jacobians and dense
+solves) timed at sampled graph sizes and integrated over the per-frame
+graph growth the reference would rebuild every frame
+(src/core/Optimizer.cpp:106-291).  The reference's own C++/PCL/g2o
+stack cannot be built in this image; the replica matches its per-frame
+flop structure.
+
+Secondary metric (``backend_ba_ms_per_frame``): the production-shape
+backend call alone — the tracker's tiered pack with 2D + 3D + gravity
+edges exactly as the loop dispatches it every frame — against the same
+f64 replica on the final graph.  Roofline fields (XLA cost analysis vs
+v5e peaks) are reported for BOTH device programs (extraction and LM).
 """
 import json
+import os
 import sys
 import time
 
@@ -29,10 +37,10 @@ import numpy as np
 CABINET = "/root/reference/Example/dataset/cabinet/"
 YAML = "/root/reference/Example/param/TUM3.yaml"
 
+# --------------------------------------------------------------------------
+# f64 numpy geometry (g2o-equivalent; quat [x,y,z,w], tangent [omega,ups])
+# --------------------------------------------------------------------------
 
-# --------------------------------------------------------------------------
-# numpy/f64 reference backend (g2o-equivalent structure)
-# --------------------------------------------------------------------------
 
 def np_quat_to_mat(q):
     x, y, z, w = q
@@ -50,7 +58,82 @@ def np_se3_mat(p):
     return M
 
 
+def _skew(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+
+def _mat_to_quat(m):
+    t = np.trace(m)
+    q = np.array([m[2, 1] - m[1, 2], m[0, 2] - m[2, 0], m[1, 0] - m[0, 1],
+                  1.0 + t])
+    if q[3] <= 1e-8:  # fallback branch
+        i = int(np.argmax(np.diag(m)))
+        q = np.roll(np.array([1 + 2 * m[i, i] - t,
+                              m[(i + 1) % 3, i] + m[i, (i + 1) % 3],
+                              m[(i + 2) % 3, i] + m[i, (i + 2) % 3],
+                              m[(i + 2) % 3, (i + 1) % 3]
+                              - m[(i + 1) % 3, (i + 2) % 3]]), i)
+    return q / np.linalg.norm(q)
+
+
+def np_mat_to_pose7(T):
+    return np.r_[T[:3, 3], _mat_to_quat(T[:3, :3])]
+
+
+def np_se3_mul(a, b):
+    return np_mat_to_pose7(np_se3_mat(a) @ np_se3_mat(b))
+
+
+def np_se3_inv(a):
+    return np_mat_to_pose7(np.linalg.inv(np_se3_mat(a)))
+
+
+def np_so3_log(q):
+    qv = q[:3]
+    n = np.linalg.norm(qv)
+    w = np.clip(q[3], -1.0, 1.0)
+    if n < 1e-12:
+        return np.zeros(3)
+    theta = 2.0 * np.arctan2(n, w)
+    if theta > np.pi:
+        theta -= 2 * np.pi
+    return qv / n * theta
+
+
+def np_se3_log(p):
+    omega = np_so3_log(p[3:] / np.linalg.norm(p[3:]))
+    th = np.linalg.norm(omega)
+    Om = _skew(omega)
+    if th < 1e-6:
+        Vinv = np.eye(3) - 0.5 * Om + Om @ Om / 12.0
+    else:
+        c = (1 - 0.5 * th * np.cos(0.5 * th) / np.sin(0.5 * th)) / (th * th)
+        Vinv = np.eye(3) - 0.5 * Om + c * (Om @ Om)
+    return np.r_[omega, Vinv @ p[:3]]
+
+
+def np_exp_update(vec10, u):
+    # SE3 exp (omega, upsilon) + additive scale (VertexEllipsoid oplus,
+    # BasicEllipsoidEdges.cpp:8-11)
+    omega, ups, ds = u[:3], u[3:6], u[6:]
+    th = np.linalg.norm(omega)
+    if th < 1e-10:
+        R = np.eye(3) + _skew(omega)
+        V = np.eye(3)
+    else:
+        K_ = _skew(omega / th)
+        R = np.eye(3) + np.sin(th) * K_ + (1 - np.cos(th)) * K_ @ K_
+        V = (np.eye(3) + (1 - np.cos(th)) / th * K_
+             + (th - np.sin(th)) / th * K_ @ K_)
+    M = np.eye(4)
+    M[:3, :3] = R
+    M[:3, 3] = V @ ups
+    Mn = np_se3_mat(vec10[:7]) @ M
+    return np.r_[np_mat_to_pose7(Mn), vec10[7:] + ds]
+
+
 def np_project_bbox(vec10, pose_cw, K):
+    """Conic-projection bbox (Ellipsoid.cpp:209-273)."""
     s = vec10[7:]
     Qc = np.diag(np.r_[s * s, -1.0])
     T = np_se3_mat(vec10[:7])
@@ -75,62 +158,74 @@ def np_project_bbox(vec10, pose_cw, K):
     return np.array([x_c - xl, y_c - yl, x_c + xl, y_c + yl])
 
 
-def np_exp_update(vec10, u):
-    # SE3 exp (omega, upsilon) + additive scale, float64
-    omega, ups, ds = u[:3], u[3:6], u[6:]
-    th = np.linalg.norm(omega)
-    if th < 1e-10:
-        R = np.eye(3) + _skew(omega)
-        V = np.eye(3)
-    else:
-        K_ = _skew(omega / th)
-        R = np.eye(3) + np.sin(th) * K_ + (1 - np.cos(th)) * K_ @ K_
-        V = (np.eye(3) + (1 - np.cos(th)) / th * K_
-             + (th - np.sin(th)) / th * K_ @ K_)
-    M = np.eye(4)
-    M[:3, :3] = R
-    M[:3, 3] = V @ ups
-    Mn = np_se3_mat(vec10[:7]) @ M
-    q = _mat_to_quat(Mn[:3, :3])
-    return np.r_[Mn[:3, 3], q, vec10[7:] + ds]
+def np_rotate_yaw(vec10, k):
+    """Ellipsoid.cpp:75-90: body-frame z yaw by k*90deg, axes swapped."""
+    yaw = k * np.pi / 2.0
+    rot = np.array([0, 0, 0, 0, 0, np.sin(yaw / 2), np.cos(yaw / 2)])
+    pose = np_se3_mul(vec10[:7], rot)
+    s = vec10[7:]
+    if k % 2 != 0:
+        s = np.array([s[1], s[0], s[2]])
+    return np.r_[pose, s]
 
 
-def _skew(v):
-    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+def np_min_log_error_9dof(e, other):
+    """Ellipsoid.cpp:92-117: min over {-90,0,90,180}deg yaw of other."""
+    best, best_n = None, np.inf
+    for k in (-1, 0, 1, 2):
+        o = np_rotate_yaw(other, k)
+        pose_diff = np_se3_mul(np_se3_inv(o[:7]), e[:7])
+        r = np.r_[np_se3_log(pose_diff), e[7:] - o[7:]]
+        n = r @ r
+        if n < best_n:
+            best, best_n = r, n
+    return best
 
 
-def _mat_to_quat(m):
-    t = np.trace(m)
-    q = np.array([m[2, 1] - m[1, 2], m[0, 2] - m[2, 0], m[1, 0] - m[0, 1],
-                  1.0 + t])
-    if q[3] <= 1e-8:  # fallback branch
-        i = int(np.argmax(np.diag(m)))
-        q = np.roll(np.array([1 + 2 * m[i, i] - t,
-                              m[(i + 1) % 3, i] + m[i, (i + 1) % 3],
-                              m[(i + 2) % 3, i] + m[i, (i + 2) % 3],
-                              m[(i + 2) % 3, (i + 1) % 3]
-                              - m[(i + 1) % 3, (i + 2) % 3]]), i)
-    return q / np.linalg.norm(q)
+def np_residual_gravity(vec10, normal):
+    """BasicEllipsoidEdges.cpp:129-152."""
+    R = np_quat_to_mat(vec10[3:7])
+    z = R[:, 2]
+    cosang = z @ normal / (np.linalg.norm(z)
+                           * max(np.linalg.norm(normal), 1e-8))
+    return np.array([np.arccos(np.clip(cosang, -1 + 1e-4, 1 - 1e-4))])
 
 
-def numpy_backend_frame(vec10, obs_pose_cw, obs_bbox, obs_prob, K, iters=10):
-    """One frame of reference-style backend: LM with numeric jacobians."""
+# --------------------------------------------------------------------------
+# f64 full-edge-set backend replica (the per-frame global BA the reference
+# rebuilds every frame: Optimizer.cpp:83-317, numeric jacobians, 10 LM
+# iterations, dense solve)
+# --------------------------------------------------------------------------
+
+
+def numpy_backend_frame(vec10, obs2d, obs3d, gravity, K, iters=10):
+    """One frame of reference-style backend for one object.
+
+    obs2d: list of (pose_cw7, bbox4, prob) — info = I4 * prob
+    obs3d: list of (meas_world_vec10, prob*scale_3d) — the measured local
+           ellipsoid transformed to world (estimate-independent)
+    gravity: None or (normal3, gravity_scale)
+    """
     est = vec10.copy()
 
     def residuals(e):
         rs = []
-        for p, b, pr in zip(obs_pose_cw, obs_bbox, obs_prob):
+        for p, b, pr in obs2d:
             proj = np_project_bbox(e, p, K)
-            r = np.where(b >= 5, proj - b, 0.0) * np.sqrt(pr)
-            rs.append(r)
-        return np.concatenate(rs)
+            rs.append(np.where(b >= 5, proj - b, 0.0) * np.sqrt(pr))
+        for mw, w in obs3d:
+            rs.append(np_min_log_error_9dof(e, mw) * np.sqrt(w))
+        if gravity is not None:
+            rs.append(np_residual_gravity(e, gravity[0]) * gravity[1])
+        return np.concatenate(rs) if rs else np.zeros(0)
 
     lam, nu = -1.0, 2.0
     r = residuals(est)
+    if r.size == 0:
+        return est
     chi2 = r @ r
     for _ in range(iters):
-        # central-difference jacobian (g2o numeric diff, delta=1e-9-ish;
-        # use 1e-6 for f64 stability)
+        # central-difference jacobian (g2o numeric diff; 1e-6 for f64)
         J = np.zeros((r.size, 9))
         h = 1e-6
         for k in range(9):
@@ -168,7 +263,7 @@ V5E_PEAK_FLOPS = 197e12
 V5E_PEAK_BW = 819e9
 
 
-def roofline(compiled, ms_per_call):
+def roofline(compiled, ms_per_call, prefix=""):
     """FLOPs / HBM bytes of a compiled program from XLA's cost analysis,
     turned into achieved TFLOP/s, GB/s and utilization fractions.
 
@@ -183,94 +278,263 @@ def roofline(compiled, ms_per_call):
         flops = float(ca.get("flops", 0.0))
         byts = float(ca.get("bytes accessed", 0.0))
     except Exception:
-        return None
+        return {}
     if flops <= 0 and byts <= 0:
-        return None
+        return {}
     t = ms_per_call / 1e3
     return {
-        "flops": flops,
-        "hbm_bytes": byts,
-        "tflops_achieved": round(flops / t / 1e12, 4),
-        "gbps_achieved": round(byts / t / 1e9, 2),
-        "mfu": round(flops / t / V5E_PEAK_FLOPS, 5),
-        "bw_util": round(byts / t / V5E_PEAK_BW, 4),
+        prefix + "flops": flops,
+        prefix + "hbm_bytes": byts,
+        prefix + "tflops_achieved": round(flops / t / 1e12, 4),
+        prefix + "gbps_achieved": round(byts / t / 1e9, 2),
+        prefix + "mfu": round(flops / t / V5E_PEAK_FLOPS, 6),
+        prefix + "bw_util": round(byts / t / V5E_PEAK_BW, 4),
     }
+
+
+def make_system():
+    """Build the production System exactly like examples/run_tum.py
+    defaults: mono extractor, symmetry per the yaml, ground plane on."""
+    from object_oriented_slam_tpu.core.camera import Camera
+    from object_oriented_slam_tpu.frontend import (ExtractorConfig,
+                                                   make_extractor,
+                                                   make_plane_estimator)
+    from object_oriented_slam_tpu.io import Config
+    from object_oriented_slam_tpu.system import System
+
+    cfg = Config(YAML)
+    cam = Camera(fx=cfg.get_float("Camera.fx"), fy=cfg.get_float("Camera.fy"),
+                 cx=cfg.get_float("Camera.cx"), cy=cfg.get_float("Camera.cy"),
+                 scale=cfg.get_float("Camera.scale"),
+                 width=cfg.get_int("Camera.width", 640),
+                 height=cfg.get_int("Camera.height", 480))
+    ext_cfg = ExtractorConfig(
+        depth_range=cfg.read_value("EllipsoidExtractor_DEPTH_RANGE", 6.0),
+        cluster_tolerance=cfg.get_float(
+            "EllipsoidExtraction.Euclidean.ClusterTolerance", 0.02),
+        cluster_min_size=cfg.get_int(
+            "EllipsoidExtraction.Euclidean.MinClusterSize", 100),
+        cluster_center_dis=cfg.get_float(
+            "EllipsoidExtraction.Euclidean.CenterDis", 0.5),
+        sym_grid=cfg.get_float("EllipsoidExtraction.Symmetry.GridSize", 0.1),
+        open_symmetry=cfg.get_int("EllipsoidExtraction.Symmetry.Open") == 1)
+    slam = System(YAML, extractor=make_extractor(cam, ext_cfg),
+                  plane_estimator=make_plane_estimator(cam))
+    slam.open_ground_plane_estimation()
+    return slam, cam, ext_cfg
+
+
+def run_pipeline(frames):
+    """One pass of the full pipeline; returns (slam, per-frame seconds)."""
+    slam, _, _ = make_system()
+    per_frame = []
+    for i, ts, pose, depth, rgb, det in frames:
+        t0 = time.perf_counter()
+        slam.track_with_objects(ts, pose, det, depth=depth, rgb=None)
+        per_frame.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    slam.tracker.sync()
+    drain = time.perf_counter() - t0
+    return slam, per_frame, drain
+
+
+def baseline_frontend_ms(frames, ground_plane_w, cam, ext_cfg,
+                         sample_ids=(10, 25, 40)):
+    """f64 oracle frontend (tests/oracle_frontend.py) timed on sample
+    frames; returns mean ms per frontend call."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import oracle_frontend as orc
+
+    times = []
+    for fid in sample_ids:
+        i, ts, pose, depth, rgb, det = frames[fid]
+        det = np.asarray(det, np.float64).reshape(-1, 8)
+        t0 = time.perf_counter()
+        for row in det:
+            orc.estimate_local_ellipsoid(
+                depth.astype(np.float64), row[1:5], int(row[5]), pose, cam,
+                ground_plane_w, open_symmetry=ext_cfg.open_symmetry,
+                depth_range=ext_cfg.depth_range,
+                cluster_tol=ext_cfg.cluster_tolerance,
+                cluster_min_size=ext_cfg.cluster_min_size,
+                center_dis=ext_cfg.cluster_center_dis,
+                sym_grid=ext_cfg.sym_grid)
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.mean(times)), times
+
+
+def baseline_backend_model(slam, K, n_frames):
+    """Time the f64 full-edge replica at sampled graph sizes, fit cost
+    linear in edge count, integrate over the per-frame graph growth the
+    reference would re-optimize every frame.
+
+    Returns (mean ms/frame over the sequence, ms at the final graph).
+    """
+    lm_cfg = slam.tracker.lm_cfg
+    gp = slam.tracker.state.ground_plane
+    normal = None
+    if gp is not None and lm_cfg.gravity_on:
+        normal = gp[:3] / np.linalg.norm(gp[:3])
+
+    # assemble the final graph per object (world-frame 3D measurements
+    # are estimate-independent: precompute like the reference's
+    # setMeasurement + transform_from)
+    objs = []
+    for inst, rec in slam.tracker.state.objects.items():
+        if not rec.initialized:
+            continue
+        obs2d = [(np.asarray(p, np.float64), np.asarray(b, np.float64),
+                  float(pr)) for p, b, pr in
+                 zip(rec.obs2d_pose_cw, rec.obs2d_bbox, rec.obs2d_prob)]
+        obs3d = []
+        for p_wc, meas, pr in zip(rec.obs3d_pose_wc, rec.obs3d_meas,
+                                  rec.obs3d_prob):
+            mw = np.r_[np_se3_mul(np.asarray(p_wc, np.float64),
+                                  np.asarray(meas, np.float64)[:7]),
+                       np.asarray(meas, np.float64)[7:]]
+            obs3d.append((mw, float(pr) * lm_cfg.scale_3d))
+        frames2d = list(rec.obs2d_frame)
+        frames3d = list(rec.obs3d_frame)
+        grav = (normal, lm_cfg.gravity_scale) if normal is not None else None
+        objs.append((np.asarray(rec.vec10, np.float64), obs2d, obs3d,
+                     frames2d, frames3d, grav))
+
+    if not objs:
+        return 0.0, 0.0
+
+    def run_at(frac):
+        t0 = time.perf_counter()
+        for vec10, obs2d, obs3d, f2, f3, grav in objs:
+            n2 = max(3, int(round(len(obs2d) * frac)))
+            n3 = max(1, int(round(len(obs3d) * frac))) if obs3d else 0
+            numpy_backend_frame(vec10, obs2d[:n2], obs3d[:n3], grav, K)
+        return (time.perf_counter() - t0) * 1e3
+
+    # sampled graph sizes -> linear model ms(n_edges)
+    fracs = [0.25, 0.5, 1.0]
+    times = [run_at(f) for f in fracs]
+    tot2 = sum(len(o[1]) for o in objs)
+    tot3 = sum(len(o[2]) for o in objs)
+    edges = [max(1, int(round((tot2 + tot3) * f))) for f in fracs]
+    A = np.vstack([edges, np.ones(len(edges))]).T
+    coef, _, _, _ = np.linalg.lstsq(A, np.array(times), rcond=None)
+
+    # per-frame edge counts as the graph grows (the reference re-runs the
+    # FULL graph each frame once any object is initialized)
+    first_init = min(min(o[3][0] if o[3] else 1 << 30,
+                         o[4][0] if o[4] else 1 << 30) for o in objs)
+    per_frame = []
+    for f in range(n_frames):
+        ne = sum(sum(1 for x in o[3] if x <= f)
+                 + sum(1 for x in o[4] if x <= f) for o in objs)
+        if ne == 0 or f < first_init:
+            per_frame.append(0.0)
+        else:
+            per_frame.append(float(coef[0] * ne + coef[1]))
+    return float(np.mean(per_frame)), times[-1]
 
 
 def main():
     import jax
     import jax.numpy as jnp
-    from object_oriented_slam_tpu.backend import (LMConfig,
-                                                  optimize_objects_soa)
+    from object_oriented_slam_tpu.backend import optimize_objects_soa
     from object_oriented_slam_tpu.io import TUMDataset
-    from object_oriented_slam_tpu.system import System
 
-    # ---- gather the real cabinet observation set (host only) ----------
     ds = TUMDataset(CABINET)
-    slam = System(YAML)
-    slam.close_optimization()
-    for i, ts, pose, depth, rgb, det in ds.frames():
-        slam.track_with_objects(ts, pose, det)
-    slam.tracker._judge_initialization()
-    obs = slam.tracker._build_backend_batch()
-    K32 = jnp.asarray(slam.tracker.K.astype(np.float32))
-    normal = jnp.zeros(3)
-    cfg = LMConfig(gravity_on=False)
+    frames = list(ds.frames())
+    n_frames = len(frames)
 
-    # the SoA-layout backend (backend/lm_soa.py) — the tracker's default;
-    # observation axis in lanes, ~8x the AoS layout's throughput on v5e
-    opt = jax.jit(optimize_objects_soa, static_argnames=("cfg",))
-
-    # warmup/compile (sync via scalar fetch -- block_until_ready does not
-    # drain the async axon queue), then ~15 untimed executions: the remote
-    # service runs the first batch of executions of a freshly compiled
-    # program slowly (measured 25 ms/call for the first ~30 calls vs
-    # 3.3 ms steady state) while post-compile work drains
-    est, chi2 = opt(obs, K32, normal, False, cfg)
-    float(chi2.sum())
-    warm = [opt(obs, K32, normal, False, cfg)[1] for _ in range(15)]
-    float(sum(c.sum() for c in warm))
-
-    # dispatch all reps then sync once: a blocking fetch costs a full
-    # tunnel round trip (~25 ms), which would otherwise dominate the
-    # per-call time; this measures sustained device throughput, matching
-    # how the pipelined tracker consumes the backend (one fetch per frame
-    # fused with the extraction results).  Best of two rounds resists
-    # minute-scale tunnel load swings.
-    n_rep = 30
-    ours_ms = float("inf")
+    # ---- pass 1: warm (compiles, tier growth, remote-service ramp) ----
+    warm, _, _ = run_pipeline(frames)
+    # ---- passes 2+3: timed, best-of-two (the tunnel's minute-scale
+    # latency swings would otherwise dominate the mean) ----------------
+    e2e_mean, e2e_p50 = float("inf"), float("inf")
     for _ in range(2):
-        t0 = time.perf_counter()
-        chis = [opt(obs, K32, normal, False, cfg)[1] for _ in range(n_rep)]
-        float(sum(c.sum() for c in chis))
-        ours_ms = min(ours_ms, (time.perf_counter() - t0) / n_rep * 1e3)
+        slam, per_frame, drain = run_pipeline(frames)
+        e2e_mean = min(e2e_mean,
+                       (sum(per_frame) + drain) / n_frames * 1e3)
+        e2e_p50 = min(e2e_p50, float(np.median(per_frame)) * 1e3)
 
-    # ---- numpy/f64 reference on the same graph ------------------------
-    rec = slam.tracker.state.objects[0]
-    poses = [p.astype(np.float64) for p in rec.obs2d_pose_cw]
-    bboxes = [b.astype(np.float64) for b in rec.obs2d_bbox]
-    probs = [float(p) for p in rec.obs2d_prob]
-    vec10 = rec.vec10.astype(np.float64)
+    K32 = jnp.asarray(slam.tracker.K.astype(np.float32))
     Knp = slam.tracker.K.astype(np.float64)
 
-    t0 = time.perf_counter()
-    n_base = 3
-    for _ in range(n_base):
-        numpy_backend_frame(vec10, poses, bboxes, probs, Knp)
-    base_ms = (time.perf_counter() - t0) / n_base * 1e3
+    # ---- production-shape backend call (2D + 3D + gravity, tiered) ----
+    obs = slam.tracker._build_backend_batch()
+    gp = slam.tracker.state.ground_plane
+    gset = gp is not None
+    normal32 = jnp.asarray((gp[:3] if gset else np.zeros(3))
+                           .astype(np.float32))
+    cfg = slam.tracker.lm_cfg
+    opt = jax.jit(optimize_objects_soa, static_argnames=("cfg",))
+
+    # warmup past the remote service's slow first executions (~30)
+    est, chi2 = opt(obs, K32, normal32, gset, cfg)
+    float(chi2.sum())
+    warm_c = [opt(obs, K32, normal32, gset, cfg)[1] for _ in range(30)]
+    float(sum(c.sum() for c in warm_c))
+
+    n_rep = 30
+    lm_ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        chis = [opt(obs, K32, normal32, gset, cfg)[1] for _ in range(n_rep)]
+        float(sum(c.sum() for c in chis))
+        lm_ms = min(lm_ms, (time.perf_counter() - t0) / n_rep * 1e3)
+
+    # ---- f64 baselines ------------------------------------------------
+    _, cam, ext_cfg = make_system()
+    base_fe_ms, fe_samples = baseline_frontend_ms(
+        frames, slam.tracker.state.ground_plane, cam, ext_cfg)
+    base_be_mean_ms, base_be_final_ms = baseline_backend_model(
+        slam, Knp, n_frames)
+    base_e2e_ms = base_fe_ms + base_be_mean_ms
 
     out = {
-        "metric": "backend_ba_ms_per_frame",
-        "value": round(ours_ms, 3),
+        "metric": "e2e_ms_per_frame",
+        "value": round(e2e_mean, 3),
         "unit": "ms",
-        "vs_baseline": round(base_ms / ours_ms, 3),
+        "vs_baseline": round(base_e2e_ms / e2e_mean, 1),
+        "e2e_p50_ms": round(e2e_p50, 3),
+        "frames": n_frames,
+        "baseline_e2e_ms_per_frame": round(base_e2e_ms, 1),
+        "baseline_frontend_ms": round(base_fe_ms, 1),
+        "baseline_backend_ms_per_frame": round(base_be_mean_ms, 1),
+        "backend_ba_ms_per_frame": round(lm_ms, 3),
+        "vs_baseline_backend": round(base_be_final_ms / lm_ms, 1),
     }
-    # roofline accounting for the timed program (VERDICT r1 item 5): the
-    # lowering hits the persistent compile cache, so this is cheap
-    rl = roofline(opt.lower(obs, K32, normal, False, cfg).compile(),
-                  ours_ms)
-    if rl is not None:
-        out.update(rl)
+
+    # ---- rooflines for both device programs ---------------------------
+    out.update(roofline(
+        opt.lower(obs, K32, normal32, gset, cfg).compile(), lm_ms, "lm_"))
+    try:
+        from object_oriented_slam_tpu.frontend.extractor import (
+            _extract_packed, _pack_frame)
+        i, ts, pose, depth, rgb, det = frames[25]
+        det = np.asarray(det, np.float64).reshape(-1, 8)
+        h = _pack_frame(cam, ext_cfg, depth, det[:, 1:5], det[:, 5]
+                        .astype(int), pose.astype(np.float32),
+                        slam.tracker.state.ground_plane)
+        lowered = _extract_packed.lower(
+            h.depth_j, jnp.asarray(h.flat), cam, h.cfg, h.pad, h.need_s,
+            h.need_d).compile()
+        # extraction device time ~= the pipeline's deferred-fetch wait +
+        # dispatch (the loop is extraction-bound; see BENCH_DETAILS);
+        # time it directly: dispatch n reps, sync once
+        ext_call = lambda: _extract_packed(
+            h.depth_j, jnp.asarray(h.flat), cam, h.cfg, h.pad, h.need_s,
+            h.need_d)
+        outs = [ext_call() for _ in range(10)]
+        float(np.asarray(outs[-1]).sum())
+        t0 = time.perf_counter()
+        outs = [ext_call() for _ in range(20)]
+        float(np.asarray(outs[-1]).sum())
+        ext_ms = (time.perf_counter() - t0) / 20 * 1e3
+        out["ext_ms_per_frame"] = round(ext_ms, 3)
+        out.update(roofline(lowered, ext_ms, "ext_"))
+    except Exception:
+        pass
+
     print(json.dumps(out))
 
 
