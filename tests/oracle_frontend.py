@@ -465,6 +465,144 @@ SYMMETRY_PRIOR = {58: 0, 59: 1, 62: 1, 57: 1, 66: 1, 64: 1, 63: 1, 41: 1,
                   28: 2}  # LoadSymmetryPrior (EllipsoidExtractor.cpp:52-79)
 
 
+# --------------------------------------------------------------------------
+# Ground-plane oracle (PlaneExtractor::extractGroundPlane,
+# src/plane/PlaneExtractor.cpp:22-107,126-183)
+# --------------------------------------------------------------------------
+
+
+def organized_normals(depth, cam, smoothing=10, max_depth_change=0.05):
+    """PCL IntegralImageNormalEstimation AVERAGE_3D_GRADIENT replica
+    (PlaneExtractor.cpp:64-71): horizontal/vertical 3D gradient vectors
+    box-averaged over the smoothing window (PCL does this with integral
+    images), normal = normalize(cross(grad_x, grad_y)); pixels whose
+    local depth step exceeds max_depth_change * z get no normal."""
+    H, W = depth.shape
+    z = depth.astype(np.float64) / cam.scale
+    xs = (np.arange(W) - cam.cx) / cam.fx
+    ys = (np.arange(H) - cam.cy) / cam.fy
+    pts = np.stack([xs[None, :] * z, ys[:, None] * z, z], axis=-1)
+    valid = z > 0
+
+    gx = np.zeros_like(pts)
+    gx[:, 1:-1] = (pts[:, 2:] - pts[:, :-2]) * 0.5
+    gy = np.zeros_like(pts)
+    gy[1:-1, :] = (pts[2:, :] - pts[:-2, :]) * 0.5
+    # depth-discontinuity gate
+    dz = np.zeros_like(z)
+    dz[:, 1:-1] = np.maximum(np.abs(z[:, 2:] - z[:, 1:-1]),
+                             np.abs(z[:, :-2] - z[:, 1:-1]))
+    dz[1:-1, :] = np.maximum(dz[1:-1, :],
+                             np.maximum(np.abs(z[2:, :] - z[1:-1, :]),
+                                        np.abs(z[:-2, :] - z[1:-1, :])))
+    ok = valid & (dz < max_depth_change * np.maximum(z, 1e-6))
+    gx[~ok] = 0.0
+    gy[~ok] = 0.0
+
+    # box average via cumulative sums (integral images)
+    r = smoothing // 2
+
+    def box(a):
+        c = np.cumsum(np.cumsum(
+            np.pad(a, ((r + 1, r), (r + 1, r), (0, 0))), axis=0), axis=1)
+        return (c[2 * r + 1:, 2 * r + 1:] - c[:-2 * r - 1, 2 * r + 1:]
+                - c[2 * r + 1:, :-2 * r - 1] + c[:-2 * r - 1, :-2 * r - 1])
+
+    n = np.cross(box(gx), box(gy))
+    nn = np.linalg.norm(n, axis=-1)
+    has_n = ok & (nn > 1e-12)
+    n = np.where(has_n[..., None], n / np.maximum(nn, 1e-12)[..., None], 0.0)
+    # PCL orients normals toward the viewpoint (origin): n . p < 0
+    flip = np.sum(n * pts, axis=-1) > 0
+    n[flip] = -n[flip]
+    return pts, n, has_n
+
+
+def organized_multiplane(pts, normals, has_n, ang_th_rad, dis_th,
+                         min_inliers=100):
+    """pcl::OrganizedMultiPlaneSegmentation replica
+    (PlaneExtractor.cpp:83-93): connected components of the pixel grid
+    under the plane-coefficient comparator (neighbor normals within the
+    angular threshold AND plane offsets d = -n.p within the distance
+    threshold), least-squares plane per component, >= min_inliers.
+    Returns [(coeffs4 with d >= 0 like :106-107, inlier_count), ...]."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+    H, W = has_n.shape
+    d = -np.sum(normals * pts, axis=-1)
+    cos_th = math.cos(ang_th_rad)
+
+    idx = np.arange(H * W).reshape(H, W)
+    rows, cols, datas = [], [], []
+    for axis in (0, 1):
+        a = (slice(None, -1), slice(None)) if axis == 0 \
+            else (slice(None), slice(None, -1))
+        b = (slice(1, None), slice(None)) if axis == 0 \
+            else (slice(None), slice(1, None))
+        both = has_n[a] & has_n[b]
+        cosang = np.sum(normals[a] * normals[b], axis=-1)
+        close = both & (cosang > cos_th) & (np.abs(d[a] - d[b]) < dis_th)
+        rows.append(idx[a][close])
+        cols.append(idx[b][close])
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    adj = coo_matrix((np.ones(len(rows), bool), (rows, cols)),
+                     shape=(H * W, H * W))
+    n_comp, labels = connected_components(adj, directed=False)
+    labels = labels.reshape(H, W)
+    labels[~has_n] = -1
+
+    planes = []
+    lab_flat = labels.ravel()
+    order = np.argsort(lab_flat, kind="stable")
+    sorted_labs = lab_flat[order]
+    starts = np.flatnonzero(np.r_[True, sorted_labs[1:] != sorted_labs[:-1]])
+    ends = np.r_[starts[1:], len(sorted_labs)]
+    pts_flat = pts.reshape(-1, 3)
+    for a, b in zip(starts, ends):
+        if sorted_labs[a] < 0 or (b - a) < min_inliers:
+            continue
+        p = pts_flat[order[a:b]]
+        c = p.mean(axis=0)
+        q = p - c
+        cov = q.T @ q
+        vals, vecs = np.linalg.eigh(cov)
+        nvec = vecs[:, 0]
+        coeffs = np.r_[nvec, -nvec @ c]
+        if coeffs[3] < 0:
+            coeffs = -coeffs
+        planes.append((coeffs, int(b - a)))
+    return planes
+
+
+def extract_ground_plane_oracle(depth, cam, min_size=200, ang_deg=5.0,
+                                dis_th=0.1):
+    """extractGroundPlane (PlaneExtractor.cpp:126-183), f64: all planes
+    from the organized segmentation, keep >= Plane.MinSize, reject
+    normals outside +-45 deg of camera Y (the gravity assumption), pick
+    the largest, flip the sign so the camera center is on the positive
+    side.  Returns camera-frame vec4 or None."""
+    pts, normals, has_n = organized_normals(depth, cam)
+    planes = organized_multiplane(pts, normals, has_n,
+                                  math.radians(ang_deg), dis_th)
+    candidates = []
+    for coeffs, size in planes:
+        if size < min_size:
+            continue
+        cos_t = coeffs[1] / np.linalg.norm(coeffs[:3])   # axisY = (0,1,0)
+        theta = math.acos(np.clip(cos_t, -1.0, 1.0))
+        if math.pi / 4 < theta < 3 * math.pi / 4:
+            continue          # wall filter (:148-157)
+        candidates.append((coeffs, size))
+    if not candidates:
+        return None
+    coeffs = max(candidates, key=lambda cs: cs[1])[0]
+    # camera on the positive side (:175-178): distance of the origin
+    if coeffs[3] / np.linalg.norm(coeffs[:3]) < 0:
+        coeffs = -coeffs
+    return coeffs
+
+
 @dataclasses.dataclass
 class OracleResult:
     ok: bool

@@ -6,12 +6,12 @@ pipeline on the same real cabinet frame and assert the outputs agree.
 This replaces code-reading as the evidence that the batched TPU frontend
 computes what the reference computes.
 
-Tolerances: the no-symmetry path differs only by f32 arithmetic and
-reduction order (tight).  The symmetry path runs a different LM
-implementation (analytic gradients vs g2o numeric diff + trial
-schedule), so the optimized planes — and hence the completed clouds —
-agree only approximately (loose, but far tighter than the 0.4 m object
-scale).
+Tolerances are pinned by the round-3 full-sequence sweep
+(examples/oracle_sweep.py; BENCH_DETAILS.md): no-symmetry center delta
+is 3 mm median / 5 cm max over all 51 frames; the symmetry variants add
+analytic-vs-numeric LM iterate drift bounded at ~0.04 m p90 with
+probability agreement to ~0.01.  The single-frame asserts below use the
+sweep's max-frame bounds with margin.
 """
 import math
 import os
@@ -88,6 +88,28 @@ def _assert_close(e_tpu, e_orc, tol_c, tol_s, tol_z_deg):
     assert ang < tol_z_deg, f"z axis differs by {ang:.2f} deg"
 
 
+def test_oracle_ground_plane():
+    """TPU ground-plane estimator vs the f64 PCL-replica oracle
+    (PlaneExtractor::extractGroundPlane, PlaneExtractor.cpp:126-183):
+    same output contract — dominant gravity-consistent plane, camera on
+    the positive side — within tight normal/distance tolerances."""
+    ds = TUMDataset(CABINET)
+    _, _, pose, depth, _, _ = next(iter(ds.frames()))
+    plane_orc = orc.extract_ground_plane_oracle(depth.astype(np.int64), CAM)
+    assert plane_orc is not None
+
+    est = make_plane_estimator(CAM)
+    plane_tpu = np.asarray(est(depth), np.float64)
+
+    n_o = plane_orc[:3] / np.linalg.norm(plane_orc[:3])
+    n_t = plane_tpu[:3] / np.linalg.norm(plane_tpu[:3])
+    ang = math.degrees(math.acos(np.clip(n_o @ n_t, -1, 1)))
+    assert ang < 3.0, f"normal angle {ang:.2f} deg"
+    d_o = plane_orc[3] / np.linalg.norm(plane_orc[:3])
+    d_t = plane_tpu[3] / np.linalg.norm(plane_tpu[:3])
+    assert abs(d_o - d_t) < 0.05, (d_o, d_t)
+
+
 def test_oracle_no_symmetry():
     pose, depth, det = _cabinet_frame()
     bbox = det[0, 1:5]
@@ -113,8 +135,8 @@ def test_oracle_dual_symmetry():
     assert res.ok
     e_tpu, prob, valid = _pipeline_extract(depth, bbox, pose, plane_w, 2)
     assert valid
-    _assert_close(e_tpu, res.e_local, tol_c=0.08, tol_s=0.08, tol_z_deg=3.0)
-    assert abs(prob - res.prob) < 0.2, (prob, res.prob)
+    _assert_close(e_tpu, res.e_local, tol_c=0.05, tol_s=0.05, tol_z_deg=1.0)
+    assert abs(prob - res.prob) < 0.05, (prob, res.prob)
 
 
 def test_oracle_single_reflection():
@@ -130,5 +152,5 @@ def test_oracle_single_reflection():
     assert res.ok
     e_tpu, prob, valid = _pipeline_extract(depth, bbox, pose, plane_w, 1)
     assert valid
-    _assert_close(e_tpu, res.e_local, tol_c=0.08, tol_s=0.08, tol_z_deg=3.0)
-    assert abs(prob - res.prob) < 0.2, (prob, res.prob)
+    _assert_close(e_tpu, res.e_local, tol_c=0.05, tol_s=0.05, tol_z_deg=1.0)
+    assert abs(prob - res.prob) < 0.05, (prob, res.prob)
