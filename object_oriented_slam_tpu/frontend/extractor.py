@@ -49,10 +49,22 @@ class ExtractorConfig:
     cluster_min_size: int = 100
     cluster_center_dis: float = 0.5
     sym_grid: float = 0.1                   # EllipsoidExtraction.Symmetry.GridSize
-    cloud_capacity: int = 8192              # post-voxel budget
+    cloud_capacity: int = 16384  # post-voxel budget.  8192 silently
+                                 # truncated the 11-13k-voxel clouds of
+                                 # near-camera cabinet frames (33-39) to
+                                 # ~65%, biasing PCA center/scale by
+                                 # ~0.1 m vs the f64 oracle (round-3
+                                 # sweep); the per-frame pow2 tiering
+                                 # keeps small frames on small programs
     sym_capacity: int = 512                 # post-0.1-downsample budget
-    cluster_iters: int = 16   # convergence bound only: rounds stop early
-                              # once labels settle (ops/cluster.py)
+    cluster_iters: int = 48   # convergence bound only: rounds stop early
+                              # once labels settle (ops/cluster.py), so
+                              # raising it is free on converged frames.
+                              # 16 was too low: cabinet frames 23-50
+                              # need up to ~30 rounds and a truncated
+                              # run selects a FRAGMENT (0.1-0.2 m center
+                              # error vs the f64 oracle; round-3 sweep +
+                              # frame-45 analysis, BENCH_DETAILS.md)
     grid_cluster: bool = False  # O(N*C) grid-hash clustering — exact and
                                 # asymptotically better, but the remote
                                 # TPU toolchain pathologizes its gathers
@@ -64,6 +76,12 @@ class ExtractorConfig:
     sparse_symmetry: bool = False  # mirror only depth-border points in the
                                    # symmetry cost (Symmetry::SetBorders
                                    # path; inactive in the reference demo)
+    sym_analytic_grad: bool = True  # False = the reference-faithful
+                                    # central-difference plane jacobians
+                                    # (SymmetryConfig.analytic_grad);
+                                    # iterate gap quantified in
+                                    # BENCH_DETAILS (oracle_sweep
+                                    # --variants dual_numeric,...)
 
 
 def _grid_clustering_ok(cam: Camera, cfg: ExtractorConfig) -> bool:
@@ -244,7 +262,8 @@ def _sym_finish_one(Two, pts_n, obj_m, sym_src, ok_in, bbox, sym_type,
     prob = jnp.float32(1.0)
     if cfg.open_symmetry and (need_single or need_dual):
         from . import symmetry as sym_mod
-        sym_cfg = sym_mod.SymmetryConfig()
+        sym_cfg = sym_mod.SymmetryConfig(
+            analytic_grad=cfg.sym_analytic_grad)
         pose_oc = se3.se3_mul(se3.se3_inv(Two), pose_wc)
         variants = []
         if need_single:
@@ -579,6 +598,10 @@ class FusedSplitExtractor:
     deferral pipeline absorbs the extra frame of latency.
     """
     fused = True
+    # Tracking's fuse_lm deferral requires this; the deferred batch is
+    # consumed by step_with_lm (one fused program) when a due phase-B
+    # partner exists, else dispatched standalone by the caller.
+    supports_lm_fusion = True
 
     # consume pending phase-A handles this many steps behind dispatch:
     # lag 1 blocks on a fetch whose program just entered the device queue
@@ -628,6 +651,45 @@ class FusedSplitExtractor:
                 pass
         self._chain.append((frame_id, h))
         return True, results
+
+    def step_with_lm(self, frame_id, depth_u16, bboxes, labels, pose_wc,
+                     ground_plane, lm_args):
+        """``step`` with the due backend LM riding the fused program.
+
+        Returns (ran, results, est, chi2); est/chi2 are None when the LM
+        could not be fused this frame (no due phase-B partner yet) — the
+        caller then dispatches the prepared batch standalone.
+        """
+        h = _pack_frame(self.cam, self.cfg, depth_u16, bboxes, labels,
+                        pose_wc, ground_plane)
+        if h is None:
+            return False, [], None, None
+        self._tier = max(self._tier, h.cfg.cloud_capacity)
+        if h.cfg.cloud_capacity != self._tier:
+            h.cfg = dataclasses.replace(h.cfg, cloud_capacity=self._tier)
+        results = []
+        est = chi2 = None
+        if len(self._chain) >= self.chain_lag:
+            fid_prev, hp = self._chain.popleft()
+            flat_b, sel_flat = _host_cluster_select(hp)
+            lm_flat, est_prev, K, normal, gset, layout, lm_cfg = lm_args
+            h.a_out, b_out, est, chi2 = _extract_fused_lm(
+                h.depth_j, jnp.asarray(h.flat), hp.depth_j,
+                jnp.asarray(flat_b), hp.a_out,
+                jnp.asarray(sel_flat.reshape(-1)), lm_flat, est_prev, K,
+                normal, gset, self.cam, h.cfg, hp.cfg, h.pad, hp.pad,
+                hp.need_s, hp.need_d, layout, lm_cfg)
+            results.append((fid_prev, b_out))
+        else:
+            h.a_out = _extract_phase_a(h.depth_j, jnp.asarray(h.flat),
+                                       self.cam, h.cfg, h.pad)
+        if hasattr(h.a_out, "copy_to_host_async"):
+            try:
+                h.a_out.copy_to_host_async()
+            except Exception:
+                pass
+        self._chain.append((frame_id, h))
+        return True, results, est, chi2
 
     def _phase_b_standalone(self, fid, hp):
         flat_b, sel_flat = _host_cluster_select(hp)
@@ -694,21 +756,10 @@ def _cloud_tier(bboxes, run, rows, cols, cap_max):
     return min(cap, cap_max)
 
 
-@partial(jax.jit, static_argnames=("cam", "cfg", "pad", "need_single",
-                                   "need_dual", "layout", "lm_cfg"))
-def _combined_ext_lm(depth_u16, flat, lm_flat, est_prev, K, normal, gset,
-                     cam, cfg, pad, need_single, need_dual, layout,
-                     lm_cfg):
-    """Extraction of frame t + the due global-BA LM of frame t-d as ONE
-    device program — on the tunneled device each program costs a large
-    hour-dependent fixed overhead (5-30 ms measured), so per-frame
-    program count is the dominant end-to-end knob.  ``layout`` is the
-    packed observation-batch layout (tuples of (name, offset, shape))
-    from system.tracking's backend packer."""
+def _lm_from_flat(lm_flat, est_prev, K, normal, gset, layout, lm_cfg):
+    """Unpack the flat LM batch (same as tracking._get_unpack) and run
+    the global-BA LM; traced inside the fused extraction programs."""
     from ..backend import ObjectObservations, optimize_objects_soa
-    ext = _extract_packed(depth_u16, flat, cam, cfg, pad, need_single,
-                          need_dual)
-    # unpack the flat LM batch (same as tracking._get_unpack)
     out = {}
     for name, offi, shp in layout:
         size = 1
@@ -723,8 +774,45 @@ def _combined_ext_lm(depth_u16, flat, lm_flat, est_prev, K, normal, gset,
         mask2d=out["m2"] > 0.5,
         pose3d_wc=out["p3"], meas3d=out["me3"], prob3d=out["pr3"],
         mask3d=out["m3"] > 0.5)
-    est, chi2 = optimize_objects_soa(obs, K, normal, gset, lm_cfg)
+    return optimize_objects_soa(obs, K, normal, gset, lm_cfg)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "pad", "need_single",
+                                   "need_dual", "layout", "lm_cfg"))
+def _combined_ext_lm(depth_u16, flat, lm_flat, est_prev, K, normal, gset,
+                     cam, cfg, pad, need_single, need_dual, layout,
+                     lm_cfg):
+    """Extraction of frame t + the due global-BA LM of frame t-d as ONE
+    device program — on the tunneled device each program costs a large
+    hour-dependent fixed overhead (5-30 ms measured), so per-frame
+    program count is the dominant end-to-end knob.  ``layout`` is the
+    packed observation-batch layout (tuples of (name, offset, shape))
+    from system.tracking's backend packer."""
+    ext = _extract_packed(depth_u16, flat, cam, cfg, pad, need_single,
+                          need_dual)
+    est, chi2 = _lm_from_flat(lm_flat, est_prev, K, normal, gset, layout,
+                              lm_cfg)
     return ext, est, chi2
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg_cur", "cfg_prev", "pad_cur",
+                                   "pad_prev", "need_single", "need_dual",
+                                   "layout", "lm_cfg"))
+def _extract_fused_lm(depth_cur, flatA_cur, depth_prev, flatB_prev,
+                      abuf_prev, sel_prev, lm_flat, est_prev, K, normal,
+                      gset, cam, cfg_cur, cfg_prev, pad_cur, pad_prev,
+                      need_single, need_dual, layout, lm_cfg):
+    """The full low-latency-link production program: phase A of frame t
+    + phase B of frame t-chain_lag (host-clustered in between) + the due
+    global-BA LM, all as ONE device program — the 'fused-split + LM
+    fusion' configuration of the round-2 dispatch-architecture A/B."""
+    a_out = _extract_phase_a(depth_cur, flatA_cur, cam, cfg_cur, pad_cur)
+    b_out = _extract_phase_b(depth_prev, flatB_prev, abuf_prev, sel_prev,
+                             cam, cfg_prev, pad_prev, need_single,
+                             need_dual)
+    est, chi2 = _lm_from_flat(lm_flat, est_prev, K, normal, gset, layout,
+                              lm_cfg)
+    return a_out, b_out, est, chi2
 
 
 class MonolithicExtractor:

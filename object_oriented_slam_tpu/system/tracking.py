@@ -303,9 +303,33 @@ class Tracking:
                 if getattr(self.extractor, "fused", False):
                     # fused split protocol: one device program per frame;
                     # the result delivered now belongs to an EARLIER frame
-                    ran, results = self.extractor.step(
-                        frame_id, depth, bboxes, labels, pose_wc,
-                        self.state.ground_plane)
+                    if self._deferred_lm is not None and hasattr(
+                            self.extractor, "step_with_lm"):
+                        # fused-split + LM fusion: the due backend batch
+                        # rides the same program as phases A+B
+                        prep = self._deferred_lm
+                        self._deferred_lm = None
+                        lm_args = (jnp.asarray(prep["flat"]),
+                                   prep["est_prev"],
+                                   jnp.asarray(self.K.astype(np.float32)),
+                                   jnp.asarray(prep["normal"]),
+                                   prep["gset"],
+                                   self._lm_layout(self.MAX_OBJECTS,
+                                                   prep["M2t"],
+                                                   prep["M3t"]),
+                                   self.lm_cfg)
+                        ran, results, est, _chi2 = \
+                            self.extractor.step_with_lm(
+                                frame_id, depth, bboxes, labels, pose_wc,
+                                self.state.ground_plane, lm_args)
+                        if est is not None:
+                            self._finish_backend(prep, est)
+                        else:
+                            self._dispatch_prepared(prep)
+                    else:
+                        ran, results = self.extractor.step(
+                            frame_id, depth, bboxes, labels, pose_wc,
+                            self.state.ground_plane)
                     for fid, b in results:
                         if hasattr(b, "copy_to_host_async"):
                             try:
