@@ -42,10 +42,13 @@ def main():
                          "<out>/live.html (a self-reloading WebGL map "
                          "view; open it in a browser during the run)")
     ap.add_argument("--max-frames", type=int, default=0)
-    ap.add_argument("--extractor", default="mono",
-                    choices=["mono", "split", "fused"],
-                    help="extraction architecture: mono = one device "
-                         "program incl. on-device clustering (default); "
+    ap.add_argument("--extractor", default="auto",
+                    choices=["auto", "mono", "split", "fused"],
+                    help="extraction architecture: auto = probe the "
+                         "device link RTT at startup and pick (default; "
+                         "high-latency tunnel -> mono, local device -> "
+                         "fused + LM fusion); mono = one device "
+                         "program incl. on-device clustering; "
                          "split/fused = host-side native grid-hash "
                          "clustering between two device phases (fused "
                          "keeps one program per frame)")
@@ -113,9 +116,21 @@ def main():
             sym_grid=cfg.get_float("EllipsoidExtraction.Symmetry.GridSize",
                                    0.1),
             open_symmetry=open_sym)
-        if args.extractor == "mono":
+        fuse_lm = False
+        choice = args.extractor
+        if choice == "auto":
+            # probe-driven selection (BENCH_DETAILS round-2 A/B turned
+            # into shipped behavior): measured link RTT picks mono
+            # (tunnel) vs fused-split + LM fusion (local device)
+            from object_oriented_slam_tpu.system.probe import (
+                choose_architecture, probe_device_rtt_ms)
+            rtt = probe_device_rtt_ms()
+            choice, fuse_lm = choose_architecture(rtt)
+            print(f"probed device RTT {rtt:.2f} ms -> extractor="
+                  f"{choice}, fuse_lm={fuse_lm}")
+        if choice == "mono":
             extractor = make_extractor(cam, ext_cfg)
-        elif args.extractor == "split":
+        elif choice == "split":
             from object_oriented_slam_tpu.frontend import \
                 make_split_extractor
             extractor = make_split_extractor(cam, ext_cfg)
@@ -129,6 +144,8 @@ def main():
                   plane_estimator=plane_est)
     if not args.no_depth:
         slam.open_ground_plane_estimation()
+        if fuse_lm:
+            slam.tracker.fuse_lm = True
     if args.distributed:
         slam.open_distributed_backend()
         print("backend sharded over", end=" ")

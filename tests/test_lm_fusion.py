@@ -62,6 +62,43 @@ def test_fused_lm_matches_standalone(tmp_path, pipeline_depth):
                                    atol=1e-4)
 
 
+def test_fused_split_lm_matches_mono(tmp_path):
+    """'fused-split + LM fusion' (one program: phase A + phase B + LM,
+    frontend._extract_fused_lm) must produce the same map as the mono
+    eager path — the configuration probe-selected for low-latency
+    links (system/probe.py)."""
+    from object_oriented_slam_tpu.io.native_loader import native_available
+    if not native_available():
+        pytest.skip("native cluster library unavailable")
+    from object_oriented_slam_tpu.frontend import make_fused_extractor
+
+    scene = make_scene(n_objects=3, seed=11)
+    cam = scene.camera
+    yaml = _yaml(tmp_path, cam)
+    frames = list(SyntheticDataset(scene, n_frames=24).frames())
+
+    def run(fused, fuse_lm, depth_pipe):
+        cfg = ExtractorConfig(cluster_min_size=30, cloud_capacity=4096)
+        maker = make_fused_extractor if fused else make_extractor
+        slam = System(yaml, extractor=maker(cam, cfg),
+                      plane_estimator=lambda d: np.array([0, -1, 0, 1e-3]))
+        slam.open_ground_plane_estimation()
+        slam.tracker.fuse_lm = fuse_lm
+        slam.tracker.pipeline_depth = depth_pipe
+        for i, ts, pose, depth, rgb, det in frames:
+            slam.track_with_objects(ts, pose, det, depth=depth)
+        slam.tracker.sync()
+        return slam
+
+    s_mono = run(False, False, 1)
+    s_fused = run(True, True, 4)
+    assert isinstance(s_fused.tracker.extractor, object)
+    objs_m, objs_f = s_mono.map_objects, s_fused.map_objects
+    assert set(objs_f) == set(objs_m) and len(objs_m) >= 1
+    for inst in objs_m:
+        np.testing.assert_allclose(objs_f[inst], objs_m[inst], atol=1e-3)
+
+
 def test_fusion_engages(tmp_path):
     """The fused path must actually be exercised (not silently falling
     back to standalone dispatch)."""
