@@ -38,17 +38,24 @@ class SyntheticScene:
 
 def make_scene(n_objects: int = 12, seed: int = 0,
                camera: Camera | None = None,
-               radius_range=(2.2, 3.4),
+               radius_range=(0.4, 1.5),
                scale_range=(0.15, 0.45),
                labels=None) -> SyntheticScene:
-    """Objects on a ring inside the camera orbit, resting on z=0."""
+    """Objects on a ring inside the camera orbit, resting on z=0.
+
+    ``radius_range`` sets the object-ring radii: the default reproduces
+    the historical dense layout (adjacent spacing can fall well under
+    the reference's 1.0 m association gate, DataAssociation.cpp:94); a
+    narrow high band like (1.5, 1.9) spaces 8 objects ~1.3 m apart for
+    association-focused evaluations.
+    """
     rng = np.random.RandomState(seed)
     if camera is None:
         camera = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6,
                         scale=5000.0, width=640, height=480)
     ang = np.linspace(0, 2 * np.pi, n_objects, endpoint=False)
     ang += rng.uniform(-0.25, 0.25, n_objects) / max(n_objects, 1)
-    r = rng.uniform(0.4, 1.5, n_objects)
+    r = rng.uniform(*radius_range, n_objects)
     sc = rng.uniform(*scale_range, (n_objects, 3))
     yaw = rng.uniform(0, 2 * np.pi, n_objects)
     vecs = np.zeros((n_objects, 10))
