@@ -1,0 +1,216 @@
+"""Scaling-efficiency model + measurement for the distributed backends
+(VERDICT r2 item 3; BASELINE.md north star: >= 80% frames/s scaling at
+N >= 2 hosts).
+
+Per-iteration communication of the two distributed solvers is tiny and
+closed-form (the formulas live in parallel/dist_lm.py and
+parallel/dist_slam.py):
+
+  * mapping-mode LM (observation-sharded, dist_lm): each LM iteration
+    psums H [O,9,9] + g [O,9] and two chi2 [O] vectors ->
+      bytes/iter = O * (81 + 9 + 2) * 4
+    plus one [O] count reduction at setup.  At the production O = 24
+    that is 8.8 KB per iteration.
+  * SLAM-mode banded Schur (edge-sharded assembly + frame-sharded PCG,
+    dist_slam): assembly psums the banded blocks once per LM iteration
+    (D [F,6,6] + B [F-1,6,6] + bp [F,6] + Hoo [K,9,9] + bo [K,9] +
+    U [F? coupling] ~ O(F*72 + K*90) * 4 bytes), and each PCG iteration
+    moves two one-row 6-float halos (ppermute) + one [K,9] psum.
+
+Measurement (``--device tpu``): single-chip LM time vs observation
+capacity gives the compute slope; the model folds in ICI/DCN transfer
+costs at v5e rates and prints projected multi-chip efficiency.  The
+``--device cpu`` mode runs the REAL sharded program on a virtual
+1/2/4/8-device host mesh — a shape sanity check (virtual devices share
+2 physical cores, so wall-clock speedup is not expected; what must hold
+is that sharded step time does not blow up with device count).
+
+Public v5e interconnect figures (How to Scale Your Model; conservative
+rounding): ICI ~4.5e10 B/s per link with ~1 us per-hop latency; DCN
+~2.5e9 B/s per host with ~25 us latency.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+ICI_BW = 4.5e10       # bytes/s
+ICI_LAT = 1e-6        # s per hop
+DCN_BW = 2.5e9        # bytes/s
+DCN_LAT = 25e-6       # s
+
+
+def collective_cost(n_bytes, n_dev, hosts=1):
+    """All-reduce cost model: 2(n-1)/n * bytes / bw + hops * latency."""
+    if n_dev <= 1:
+        return 0.0
+    bw, lat = (ICI_BW, ICI_LAT) if hosts <= 1 else (DCN_BW, DCN_LAT)
+    hops = int(np.ceil(np.log2(n_dev)))
+    return 2 * (n_dev - 1) / n_dev * n_bytes / bw + hops * lat
+
+
+def lm_bytes_per_iter(O):
+    return O * (81 + 9 + 2) * 4
+
+
+def measure_lm_single(O=24, caps=((512, 256), (2048, 1024), (8192, 4096)),
+                      iters=10, reps=20):
+    """Single-device LM ms/call at increasing observation capacity."""
+    import jax
+    import jax.numpy as jnp
+    from object_oriented_slam_tpu.backend import (LMConfig,
+                                                  ObjectObservations,
+                                                  optimize_objects_soa)
+
+    rng = np.random.default_rng(0)
+    rows = []
+    cfg = LMConfig(iters=iters)
+    opt = jax.jit(optimize_objects_soa, static_argnames=("cfg",))
+    K = jnp.asarray(np.array([[535.4, 0, 320.1], [0, 539.2, 247.6],
+                              [0, 0, 1]], np.float32))
+    normal = jnp.asarray(np.array([0, 0, 1], np.float32))
+    for M2, M3 in caps:
+        est0 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, .5, .4, .3],
+                                np.float32), (O, 1))
+        est0[:, :3] += rng.normal(0, 0.1, (O, 3)).astype(np.float32)
+        p2 = np.tile(np.array([0, 0, 3, 0, 0, 0, 1], np.float32),
+                     (O, M2, 1))
+        b2 = np.tile(np.array([250.0, 200, 400, 320], np.float32),
+                     (O, M2, 1))
+        b2 += rng.normal(0, 3, b2.shape).astype(np.float32)
+        p3 = np.tile(np.array([0, 0, -3, 0, 0, 0, 1], np.float32),
+                     (O, M3, 1))
+        me3 = np.tile(np.array([0, 0, 3, 0, 0, 0, 1, .5, .4, .3],
+                               np.float32), (O, M3, 1))
+        obs = ObjectObservations(
+            est0=jnp.asarray(est0), obj_mask=jnp.ones(O, bool),
+            pose2d_cw=jnp.asarray(p2), bbox2d=jnp.asarray(b2),
+            prob2d=jnp.full((O, M2), 0.9, jnp.float32),
+            mask2d=jnp.ones((O, M2), bool),
+            pose3d_wc=jnp.asarray(p3), meas3d=jnp.asarray(me3),
+            prob3d=jnp.full((O, M3), 0.8, jnp.float32),
+            mask3d=jnp.ones((O, M3), bool))
+        est, chi2 = opt(obs, K, normal, True, cfg)
+        float(chi2.sum())
+        warm = [opt(obs, K, normal, True, cfg)[1] for _ in range(15)]
+        float(sum(c.sum() for c in warm))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cs = [opt(obs, K, normal, True, cfg)[1] for _ in range(reps)]
+            float(sum(c.sum() for c in cs))
+            best = min(best, (time.perf_counter() - t0) / reps * 1e3)
+        flops = None
+        try:
+            ca = opt.lower(obs, K, normal, True, cfg).compile() \
+                .cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            pass
+        rows.append({"M2": M2, "M3": M3, "ms": round(best, 3),
+                     "flops": flops})
+        print(f"  single-chip O={O} M2={M2} M3={M3}: {best:.3f} ms",
+              flush=True)
+    return rows
+
+
+def project(rows, O=24, iters=10):
+    """Fold the communication model into the measured compute times."""
+    out = []
+    for row in rows:
+        t1 = row["ms"] / 1e3
+        for n, hosts in [(2, 1), (4, 1), (8, 1), (8, 2), (16, 2)]:
+            # per-device compute scales with the observation shard; the
+            # replicated 9x9 solves + control (~0.15 ms of the smallest
+            # measured call) do not shard
+            fixed = min(0.15e-3, t1 * 0.25)
+            t_comp = fixed + (t1 - fixed) / n
+            t_coll = iters * collective_cost(lm_bytes_per_iter(O), n,
+                                             hosts)
+            tn = t_comp + t_coll
+            eff = t1 / (n * tn)
+            out.append({"M2": row["M2"], "n_dev": n, "hosts": hosts,
+                        "t1_ms": round(t1 * 1e3, 3),
+                        "tn_ms": round(tn * 1e3, 3),
+                        "speedup": round(t1 / tn, 2),
+                        "efficiency": round(eff, 3)})
+    return out
+
+
+def measure_cpu_mesh():
+    """REAL sharded program on the virtual host mesh (shape sanity)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from object_oriented_slam_tpu.backend import (LMConfig,
+                                                  ObjectObservations)
+    from object_oriented_slam_tpu.parallel import optimize_objects_sharded
+
+    O, M2, M3 = 24, 2048, 1024
+    rng = np.random.default_rng(0)
+    est0 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, .5, .4, .3], np.float32),
+                   (O, 1))
+    est0[:, :3] += rng.normal(0, 0.1, (O, 3)).astype(np.float32)
+    p2 = np.tile(np.array([0, 0, 3, 0, 0, 0, 1], np.float32), (O, M2, 1))
+    b2 = np.tile(np.array([250.0, 200, 400, 320], np.float32), (O, M2, 1))
+    p3 = np.tile(np.array([0, 0, -3, 0, 0, 0, 1], np.float32), (O, M3, 1))
+    me3 = np.tile(np.array([0, 0, 3, 0, 0, 0, 1, .5, .4, .3], np.float32),
+                  (O, M3, 1))
+    obs = ObjectObservations(
+        est0=jnp.asarray(est0), obj_mask=jnp.ones(O, bool),
+        pose2d_cw=jnp.asarray(p2), bbox2d=jnp.asarray(b2),
+        prob2d=jnp.full((O, M2), 0.9, jnp.float32),
+        mask2d=jnp.ones((O, M2), bool),
+        pose3d_wc=jnp.asarray(p3), meas3d=jnp.asarray(me3),
+        prob3d=jnp.full((O, M3), 0.8, jnp.float32),
+        mask3d=jnp.ones((O, M3), bool))
+    K = jnp.asarray(np.array([[535.4, 0, 320.1], [0, 539.2, 247.6],
+                              [0, 0, 1]], np.float32))
+    normal = jnp.asarray(np.array([0, 0, 1], np.float32))
+    cfg = LMConfig()
+    rows = []
+    for n in (1, 2, 4, 8):
+        devices = jax.devices()[:n]
+        if len(devices) < n:
+            break
+        mesh = Mesh(np.array(devices), ("obs",))
+        est, chi2 = optimize_objects_sharded(obs, K, normal, True, mesh,
+                                             cfg)
+        float(np.asarray(chi2).sum())
+        t0 = time.perf_counter()
+        for _ in range(5):
+            est, chi2 = optimize_objects_sharded(obs, K, normal, True,
+                                                 mesh, cfg)
+        float(np.asarray(chi2).sum())
+        ms = (time.perf_counter() - t0) / 5 * 1e3
+        rows.append({"n_dev": n, "ms": round(ms, 2)})
+        print(f"  cpu-mesh n={n}: {ms:.1f} ms", flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
+    args = ap.parse_args()
+    report = {"model": {
+        "lm_bytes_per_iter_O24": lm_bytes_per_iter(24),
+        "ici_allreduce_us_O24_8dev": round(
+            collective_cost(lm_bytes_per_iter(24), 8) * 1e6, 2),
+        "dcn_allreduce_us_O24_2host": round(
+            collective_cost(lm_bytes_per_iter(24), 2, hosts=2) * 1e6, 2),
+    }}
+    if args.device == "cpu":
+        report["cpu_mesh"] = measure_cpu_mesh()
+    else:
+        rows = measure_lm_single()
+        report["single_chip"] = rows
+        report["projection"] = project(rows)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

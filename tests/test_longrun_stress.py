@@ -1,0 +1,110 @@
+"""Long-run system stress (VERDICT r2 item 7): 560 frames through the
+full System — pipelined processing, observation-tier growth, ring-window
+wrap (MAX_OBS2D = 512), checkpoint + resume mid-run — asserting bounded
+compile variants, stable per-frame time, and final-map agreement with an
+eager run.
+
+The ring-window LM math at the wrap is proven separately
+(test_ring_window.py); this drives the SYSTEM at length: scheduling,
+tier policy, buffers and bookkeeping must stay well-behaved for
+trajectories an order of magnitude past the demo sequence.
+"""
+import time
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from object_oriented_slam_tpu.io.synthetic import SyntheticDataset, make_scene
+from object_oriented_slam_tpu.system import System
+from object_oriented_slam_tpu.system.checkpoint import load_state, save_state
+
+N_FRAMES = 560  # > MAX_OBS2D=512: every persistent object wraps its ring
+
+
+def _yaml(tmp_path, cam):
+    p = tmp_path / "s.yaml"
+    p.write_text("%YAML:1.0\n"
+                 f"Camera.fx: {cam.fx}\nCamera.fy: {cam.fy}\n"
+                 f"Camera.cx: {cam.cx}\nCamera.cy: {cam.cy}\n"
+                 f"Camera.scale: {cam.scale}\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def scene_frames():
+    scene = make_scene(n_objects=5, seed=3)
+    ds = SyntheticDataset(scene, n_frames=N_FRAMES)
+    return scene, list(ds.frames())
+
+
+def _run(yaml, frames, pipeline_depth, stop_at=None, resume_from=None):
+    slam = System(yaml)
+    slam.tracker.pipeline_depth = pipeline_depth
+    per_frame = []
+    start = 0
+    if resume_from is not None:
+        st = load_state(resume_from)
+        slam.tracker.restore_state(st)
+        start = len(st.frames_ts)
+    for i, ts, pose, depth, rgb, det in frames:
+        if i < start:
+            continue
+        t0 = time.perf_counter()
+        slam.track_with_objects(ts, pose, det)
+        per_frame.append(time.perf_counter() - t0)
+        if stop_at is not None and i + 1 >= stop_at:
+            break
+    slam.tracker.sync()
+    return slam, per_frame
+
+
+def test_longrun_pipelined_matches_eager_and_stays_bounded(tmp_path,
+                                                           scene_frames):
+    scene, frames = scene_frames
+    yaml = _yaml(tmp_path, scene.camera)
+
+    t0 = time.time()
+    eager, pf_eager = _run(yaml, frames, pipeline_depth=1)
+    piped, pf_piped = _run(yaml, frames, pipeline_depth=4)
+
+    # ring wrapped: persistent objects carry > MAX_OBS2D observations
+    n_obs = [len(r.obs2d_bbox) for r in eager.tracker.state.objects.values()]
+    assert max(n_obs) > eager.tracker.MAX_OBS2D
+
+    # final-map agreement: pipelining is pure scheduling
+    assert set(piped.map_objects) == set(eager.map_objects)
+    for inst in eager.map_objects:
+        np.testing.assert_allclose(piped.map_objects[inst],
+                                   eager.map_objects[inst], atol=1e-3)
+
+    # no recompile churn: the tier ladder is the documented pow2 set, so
+    # past the largest tier the per-frame time must not grow; compare
+    # late-window to mid-window medians (recompiles would spike late
+    # frames by orders of magnitude)
+    mid = float(np.median(pf_piped[150:250]))
+    late = float(np.median(pf_piped[-100:]))
+    assert late < 3.0 * mid, (mid, late)
+
+    # backend buffers stay at their fixed capacities (bounded memory)
+    tr = eager.tracker
+    assert tr._b_views["p2"].shape[1] == tr.MAX_OBS2D
+    assert tr._b_views["p3"].shape[1] == tr.MAX_OBS3D
+
+
+def test_longrun_checkpoint_resume_agrees(tmp_path, scene_frames):
+    scene, frames = scene_frames
+    yaml = _yaml(tmp_path, scene.camera)
+
+    full, _ = _run(yaml, frames, pipeline_depth=4)
+
+    half, _ = _run(yaml, frames, pipeline_depth=4, stop_at=N_FRAMES // 2)
+    ckpt = str(tmp_path / "ck")
+    save_state(half.tracker.state, ckpt)
+    resumed, _ = _run(yaml, frames, pipeline_depth=4, resume_from=ckpt)
+
+    assert set(resumed.map_objects) == set(full.map_objects)
+    for inst in full.map_objects:
+        np.testing.assert_allclose(resumed.map_objects[inst],
+                                   full.map_objects[inst], atol=5e-3)
