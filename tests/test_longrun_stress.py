@@ -25,10 +25,14 @@ N_FRAMES = 560  # > MAX_OBS2D=512: every persistent object wraps its ring
 
 def _yaml(tmp_path, cam):
     p = tmp_path / "s.yaml"
+    # KeyFrameCheck.Close: 1 stores EVERY observation (like the demo
+    # yaml); with the gate active the 560-frame orbit revisits similar
+    # poses and only ~47 key observations per object would be kept
     p.write_text("%YAML:1.0\n"
                  f"Camera.fx: {cam.fx}\nCamera.fy: {cam.fy}\n"
                  f"Camera.cx: {cam.cx}\nCamera.cy: {cam.cy}\n"
-                 f"Camera.scale: {cam.scale}\n")
+                 f"Camera.scale: {cam.scale}\n"
+                 "Tracking.KeyFrameCheck.Close: 1\n")
     return str(p)
 
 
@@ -100,7 +104,7 @@ def test_longrun_checkpoint_resume_agrees(tmp_path, scene_frames):
     full, _ = _run(yaml, frames, pipeline_depth=4)
 
     half, _ = _run(yaml, frames, pipeline_depth=4, stop_at=N_FRAMES // 2)
-    ckpt = str(tmp_path / "ck")
+    ckpt = str(tmp_path / "ck.npz")
     save_state(half.tracker.state, ckpt)
     resumed, _ = _run(yaml, frames, pipeline_depth=4, resume_from=ckpt)
 
