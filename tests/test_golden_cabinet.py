@@ -23,6 +23,38 @@ pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.exists(CABINET),
 GOLDEN_CENTER = np.array([-1.530, 0.462, 0.220])
 GOLDEN_SCALE_SORTED = np.array([0.388, 0.425, 0.536])
 
+# ORACLE golden for the full 3D pipeline (symmetry on): the f64 oracle
+# chain run end-to-end — oracle ground plane + per-frame frontend oracle
+# + full-edge-set f64 backend replica on the final graph
+# (examples/oracle_golden.py, 2026-08-21).  Unlike the self-pinned 2D
+# golden above, this anchors the system to an EXTERNAL optimum.
+ORACLE_CENTER = np.array([-1.5334, 0.4616, 0.2559])
+ORACLE_SCALE_SORTED = np.array([0.3733, 0.3863, 0.5305])
+
+
+def test_oracle_golden_3d_pipeline():
+    """The FULL system (extraction + dual symmetry + per-frame BA) must
+    land within tight tolerance of the f64 oracle chain's optimum —
+    the oracle-derived whole-run accuracy anchor (measured agreement on
+    the TPU run: ~2 mm center / ~2 mm scale)."""
+    from object_oriented_slam_tpu.core.camera import Camera
+    from object_oriented_slam_tpu.frontend import (ExtractorConfig,
+                                                   make_extractor,
+                                                   make_plane_estimator)
+    cam = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0)
+    ds = TUMDataset(CABINET)
+    slam = System(YAML,
+                  extractor=make_extractor(
+                      cam, ExtractorConfig(open_symmetry=True)),
+                  plane_estimator=make_plane_estimator(cam))
+    slam.open_ground_plane_estimation()
+    for i, ts, pose, depth, rgb, det in ds.frames():
+        slam.track_with_objects(ts, pose, det, depth=depth)
+    slam.tracker.sync()
+    v = slam.map_objects[0]
+    assert np.allclose(v[:3], ORACLE_CENTER, atol=0.02), v[:3]
+    assert np.allclose(np.sort(v[7:]), ORACLE_SCALE_SORTED, atol=0.02), v[7:]
+
 
 def test_golden_2d_slice(tmp_path):
     ds = TUMDataset(CABINET)

@@ -79,7 +79,8 @@ def test_windowed_estimate_matches_full_graph(wrapped_run):
         poses_cw.append(np.concatenate([t, q]))
         bboxes.append(bbox)
         probs.append(prob)
-    full = bench.numpy_backend_frame(est.copy(), poses_cw, bboxes, probs,
+    obs2d = [(p, b, pr) for p, b, pr in zip(poses_cw, bboxes, probs)]
+    full = bench.numpy_backend_frame(est.copy(), obs2d, [], None,
                                      scene.camera.K, iters=20)
 
     drift_center = np.linalg.norm(full[:3] - est[:3])
