@@ -31,9 +31,14 @@ rounding): ICI ~4.5e10 B/s per link with ~1 us per-hop latency; DCN
 """
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 ICI_BW = 4.5e10       # bytes/s
 ICI_LAT = 1e-6        # s per hop
@@ -42,12 +47,21 @@ DCN_LAT = 25e-6       # s
 
 
 def collective_cost(n_bytes, n_dev, hosts=1):
-    """All-reduce cost model: 2(n-1)/n * bytes / bw + hops * latency."""
+    """All-reduce cost model: hierarchical when hosts > 1 — reduce over
+    ICI within each host (2(k-1)/k bytes at ICI rates), then exchange
+    the reduced blocks over DCN between host groups (the realistic
+    XLA/ICI+DCN schedule; a pure-DCN flat all-reduce is ~3x worse and
+    is the conservative bound quoted alongside in BENCH_DETAILS)."""
     if n_dev <= 1:
         return 0.0
-    bw, lat = (ICI_BW, ICI_LAT) if hosts <= 1 else (DCN_BW, DCN_LAT)
-    hops = int(np.ceil(np.log2(n_dev)))
-    return 2 * (n_dev - 1) / n_dev * n_bytes / bw + hops * lat
+    if hosts <= 1:
+        hops = int(np.ceil(np.log2(n_dev)))
+        return 2 * (n_dev - 1) / n_dev * n_bytes / ICI_BW + hops * ICI_LAT
+    k = max(n_dev // hosts, 1)
+    t_ici = collective_cost(n_bytes, k, 1)
+    hops_d = int(np.ceil(np.log2(hosts)))
+    t_dcn = 2 * (hosts - 1) / hosts * n_bytes / DCN_BW + hops_d * DCN_LAT
+    return t_ici + t_dcn
 
 
 def lm_bytes_per_iter(O):
@@ -141,7 +155,14 @@ def project(rows, O=24, iters=10):
 
 
 def measure_cpu_mesh():
-    """REAL sharded program on the virtual host mesh (shape sanity)."""
+    """REAL sharded program on the virtual host mesh (shape sanity).
+
+    Virtual devices share the 2 physical cores, so wall-clock SPEEDUP is
+    not expected; what must hold is that the sharded step does not blow
+    up with device count (collective overhead stays negligible).  The
+    workload is kept small — the 2-core host runs the [24, 2048] batch
+    at ~150 s/call, two orders of magnitude off the v5e's 6 ms.
+    """
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -150,7 +171,7 @@ def measure_cpu_mesh():
                                                   ObjectObservations)
     from object_oriented_slam_tpu.parallel import optimize_objects_sharded
 
-    O, M2, M3 = 24, 2048, 1024
+    O, M2, M3 = 8, 256, 128
     rng = np.random.default_rng(0)
     est0 = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, .5, .4, .3], np.float32),
                    (O, 1))
@@ -178,13 +199,16 @@ def measure_cpu_mesh():
         if len(devices) < n:
             break
         mesh = Mesh(np.array(devices), ("obs",))
-        est, chi2 = optimize_objects_sharded(obs, K, normal, True, mesh,
-                                             cfg)
+        # jit-wrap like system.Tracking.enable_distributed does — a bare
+        # optimize_objects_sharded call rebuilds its shard_map closure
+        # and recompiles every invocation
+        opt = jax.jit(lambda o: optimize_objects_sharded(
+            o, K, normal, True, mesh, cfg))
+        est, chi2 = opt(obs)
         float(np.asarray(chi2).sum())
         t0 = time.perf_counter()
         for _ in range(5):
-            est, chi2 = optimize_objects_sharded(obs, K, normal, True,
-                                                 mesh, cfg)
+            est, chi2 = opt(obs)
         float(np.asarray(chi2).sum())
         ms = (time.perf_counter() - t0) / 5 * 1e3
         rows.append({"n_dev": n, "ms": round(ms, 2)})

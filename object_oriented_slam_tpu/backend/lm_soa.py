@@ -517,6 +517,73 @@ def soa_normal_eq(est, prep, w2d, w3d, wg, ground_normal, K, huber_delta=0.0):
     return H, g, jnp.sum(r * r, axis=-1)
 
 
+_CHUNK = 1024  # observation-lane chunk for the normal-equation build:
+# measured on v5e, one [O, M] pass costs 6.5 ms at M2=2048 but 58.9 ms
+# at 4096 and 269 ms at 8192 (superlinear — the [9, O, R] x [9, O, R]
+# contraction with R ~ 70k lanes tiles badly).  Chunking the lanes and
+# accumulating H/g keeps every pass in the good regime; production
+# tiers (<= 512) never chunk, so the hot path is untouched.
+
+
+def _slice_prep(prep, s2, e2, s3, e3):
+    tcw, qcw, b2, invp4, sc4 = prep
+    return (tuple(c[:, s2:e2] for c in tcw),
+            tuple(c[:, s2:e2] for c in qcw),
+            tuple(c[:, s2:e2] for c in b2),
+            [tuple(c[:, s3:e3] for c in p) for p in invp4],
+            [tuple(c[:, s3:e3] for c in p) for p in sc4])
+
+
+def soa_normal_eq_chunked(est, prep, w2d, w3d, wg, ground_normal, K,
+                          huber_delta=0.0, chunk=_CHUNK):
+    """soa_normal_eq with the observation lanes processed in chunks.
+
+    Bitwise-equal H/g up to f32 summation order; the gravity edge rides
+    the first chunk only.
+    """
+    O = est.shape[0]
+    M2, M3 = w2d.shape[1], w3d.shape[1]
+    if M2 <= chunk and M3 <= chunk:
+        return soa_normal_eq(est, prep, w2d, w3d, wg, ground_normal, K,
+                             huber_delta)
+    f32 = est.dtype
+    H = jnp.zeros((O, 9, 9), f32)
+    g = jnp.zeros((O, 9), f32)
+    rs = jnp.zeros((O,), f32)
+    zero_g = jnp.zeros_like(wg)
+    n_chunks = max((M2 + chunk - 1) // chunk, (M3 + chunk - 1) // chunk)
+    for ci in range(n_chunks):
+        s2, e2 = min(ci * chunk, M2), min((ci + 1) * chunk, M2)
+        s3, e3 = min(ci * chunk, M3), min((ci + 1) * chunk, M3)
+        Hc, gc, rc = soa_normal_eq(
+            est, _slice_prep(prep, s2, e2, s3, e3), w2d[:, s2:e2],
+            w3d[:, s3:e3], wg if ci == 0 else zero_g, ground_normal, K,
+            huber_delta)
+        H, g, rs = H + Hc, g + gc, rs + rc
+    return H, g, rs
+
+
+def soa_chi2_chunked(est, prep, w2d, w3d, wg, ground_normal, K,
+                     huber_delta=0.0, chunk=_CHUNK):
+    O = est.shape[0]
+    M2, M3 = w2d.shape[1], w3d.shape[1]
+    if M2 <= chunk and M3 <= chunk:
+        return soa_chi2(est, prep, w2d, w3d, wg, ground_normal, K,
+                        huber_delta)
+    f32 = est.dtype
+    rs = jnp.zeros((O,), f32)
+    zero_g = jnp.zeros_like(wg)
+    n_chunks = max((M2 + chunk - 1) // chunk, (M3 + chunk - 1) // chunk)
+    for ci in range(n_chunks):
+        s2, e2 = min(ci * chunk, M2), min((ci + 1) * chunk, M2)
+        s3, e3 = min(ci * chunk, M3), min((ci + 1) * chunk, M3)
+        rs = rs + soa_chi2(
+            est, _slice_prep(prep, s2, e2, s3, e3), w2d[:, s2:e2],
+            w3d[:, s3:e3], wg if ci == 0 else zero_g, ground_normal, K,
+            huber_delta)
+    return rs
+
+
 def soa_chi2(est, prep, w2d, w3d, wg, ground_normal, K, huber_delta=0.0):
     O = est.shape[0]
     r = soa_flat_r(soa_residual_comps(
@@ -576,8 +643,8 @@ def optimize_objects_soa(obs: ObjectObservations, K: jnp.ndarray,
 
     def step(carry, _):
         est, lam, nu, chi2 = carry
-        H, g, _ = soa_normal_eq(est, prep, w2d, w3d, wg, ground_normal,
-                                K, hd)
+        H, g, _ = soa_normal_eq_chunked(est, prep, w2d, w3d, wg,
+                                        ground_normal, K, hd)
         lam0 = jnp.where(lam < 0, _TAU * jnp.max(
             jnp.diagonal(H, axis1=1, axis2=2), axis=1), lam)
         lam0 = jnp.maximum(lam0, 1e-12)
@@ -587,8 +654,8 @@ def optimize_objects_soa(obs: ObjectObservations, K: jnp.ndarray,
         du = jnp.where(du_ok, du, 0.0)
 
         est_new = soa_exp_update_flat(est, du)
-        chi2_new = soa_chi2(est_new, prep, w2d, w3d, wg, ground_normal,
-                            K, hd)
+        chi2_new = soa_chi2_chunked(est_new, prep, w2d, w3d, wg,
+                                    ground_normal, K, hd)
         denom = jnp.sum(du * (lam0[:, None] * du - g), axis=1)
         rho = (chi2 - chi2_new) / jnp.where(jnp.abs(denom) > 1e-20,
                                             denom, 1e-20)
@@ -600,7 +667,8 @@ def optimize_objects_soa(obs: ObjectObservations, K: jnp.ndarray,
         chi2_next = jnp.where(accept, chi2_new, chi2)
         return (est_next, lam_next, nu_next, chi2_next), None
 
-    chi2_0 = soa_chi2(obs.est0, prep, w2d, w3d, wg, ground_normal, K, hd)
+    chi2_0 = soa_chi2_chunked(obs.est0, prep, w2d, w3d, wg, ground_normal,
+                              K, hd)
     init = (obs.est0, jnp.full((O,), -1.0, f32), jnp.full((O,), 2.0, f32),
             chi2_0)
     (e_fin, _, _, chi2_fin), _ = jax.lax.scan(step, init, None,

@@ -57,14 +57,18 @@ class ExtractorConfig:
                                  # sweep); the per-frame pow2 tiering
                                  # keeps small frames on small programs
     sym_capacity: int = 512                 # post-0.1-downsample budget
-    cluster_iters: int = 48   # convergence bound only: rounds stop early
+    cluster_iters: int = 96   # convergence bound only: rounds stop early
                               # once labels settle (ops/cluster.py), so
                               # raising it is free on converged frames.
                               # 16 was too low: cabinet frames 23-50
-                              # need up to ~30 rounds and a truncated
-                              # run selects a FRAGMENT (0.1-0.2 m center
+                              # need ~30-60 rounds (environment-
+                              # dependent: borderline f32 adjacency
+                              # shifts the count) and a truncated run
+                              # selects a FRAGMENT (0.1-0.2 m center
                               # error vs the f64 oracle; round-3 sweep +
-                              # frame-45 analysis, BENCH_DETAILS.md)
+                              # frame-45 analysis).  A truncated run now
+                              # also FAILS the validity gate instead of
+                              # passing silently (_cluster_select_batch)
     grid_cluster: bool = False  # O(N*C) grid-hash clustering — exact and
                                 # asymptotically better, but the remote
                                 # TPU toolchain pathologizes its gathers
@@ -172,30 +176,44 @@ def _stage_post_one(pts_w, sel, battr_v, pose_wc, ground_plane,
     return Two, pts_n, obj_m, sym_src
 
 
-def _extract_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
-                 cfg: ExtractorConfig, border_map=None):
-    """One detection -> (local vec10, normalized cloud, Two, valid parts,
-    symmetry source mask).  Monolithic path: stages (a)-(f) in one graph
-    with the on-device clustering in between."""
-    (pts_v, pts_w, cells_v, m2, center_w, ok_points, ok_center,
-     battr_v) = _stage_a_one(depth, bbox, pose_wc, ground_plane, cam, cfg,
-                             border_map=border_map)
+def _cluster_select_batch(pts_v, pts_w, cells_v, m2, center_w,
+                          cam: Camera, cfg: ExtractorConfig):
+    """Stage (d) for the whole detection batch, with the compact-vs-full
+    clustering decision hoisted OUTSIDE the vmap.
 
-    # (d) Euclidean filter — grid-hash labels on the camera-frame cloud
-    # (pairwise distances are rigid-invariant; the cells are camera-frame),
-    # selection distances on the world cloud
-    use_grid = _grid_clustering_ok(cam, cfg)
-    sel, ok_cluster = cl.euclidean_filter(
-        pts_w, m2, center_w, cfg.cluster_tolerance, cfg.cluster_min_size,
-        cfg.cluster_center_dis, outer_iters=cfg.cluster_iters,
-        grid_pts=pts_v if use_grid else None,
-        grid_cells=cells_v if use_grid else None,
-        grid_leaf=cfg.voxel_leaf)
-
-    Two, pts_n, obj_m, sym_src = _stage_post_one(
-        pts_w, sel, battr_v, pose_wc, ground_plane, cam, cfg)
-    valid = ok_points & ok_center & ok_cluster
-    return Two, pts_n, obj_m, valid, sym_src
+    Inside a vmap, lax.cond lowers to select and both branches execute
+    (measured +38% instead of the intended ~4x win); deciding once per
+    frame on max survivors across detections keeps the cond a real
+    conditional.  Labels are identical either way
+    (ops/cluster.components_compacted's stable index mapping).
+    """
+    tol, it = cfg.cluster_tolerance, cfg.cluster_iters
+    if _grid_clustering_ok(cam, cfg):
+        labels, conv = jax.vmap(
+            lambda gp, gc, m: cl.connected_components_grid(
+                gp, gc, m, tol, cfg.voxel_leaf, outer_iters=it,
+                with_converged=True))(pts_v, cells_v, m2)
+    else:
+        N = pts_w.shape[1]
+        vm_full = jax.vmap(lambda p, m: cl.connected_components(
+            p, m, tol, outer_iters=it, with_converged=True))
+        if N >= 4096:
+            cap = N // 2
+            vm_comp = jax.vmap(lambda p, m: cl.components_compacted(
+                p, m, tol, it, 12, cap, with_converged=True))
+            fits = jnp.max(jnp.sum(m2, axis=1)) <= cap
+            labels, conv = jax.lax.cond(
+                fits, lambda _: vm_comp(pts_w, m2),
+                lambda _: vm_full(pts_w, m2), None)
+        else:
+            labels, conv = vm_full(pts_w, m2)
+    sel, ok = jax.vmap(lambda p, m, l, c: cl.select_cluster(
+        p, m, l, c, cfg.cluster_min_size, cfg.cluster_center_dis))(
+        pts_w, m2, labels, center_w)
+    # an iteration-bound-truncated propagation yields FRAGMENT components
+    # that can pass every downstream gate with a biased center/scale
+    # (round-3 oracle sweep) — surface it as extraction failure instead
+    return sel, ok & conv
 
 
 def _finish_one(Two, pts_n, obj_m, pose_wc):
@@ -241,16 +259,25 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
             from ..ops import filters
             border_map = filters.depth_border_mask(depth, cam.scale)
 
-    def one(bbox, run, sym_type):
-        Two, pts_n, obj_m, valid, sym_src = _extract_one(
-            depth, bbox, pose_wc, ground_plane, cam, cfg,
-            border_map=border_map)
+    # stages (a)-(c) per detection, then the clustering stage with its
+    # compact/full decision hoisted out of the vmap, then (e)-(h)
+    (pts_v, pts_w, cells_v, m2, center_w, ok_p, ok_c, battr_v) = jax.vmap(
+        lambda b: _stage_a_one(depth, b, pose_wc, ground_plane, cam, cfg,
+                               border_map=border_map))(bboxes)
+    sel, ok_cl = _cluster_select_batch(pts_v, pts_w, cells_v, m2,
+                                       center_w, cam, cfg)
+
+    def post(pts_w_i, sel_i, battr_i, bbox, run, sym_type, okp, okc, okcl):
+        Two, pts_n, obj_m, sym_src = _stage_post_one(
+            pts_w_i, sel_i, battr_i, pose_wc, ground_plane, cam, cfg)
+        valid = okp & okc & okcl
         return _sym_finish_one(
             Two, pts_n, obj_m, sym_src, valid & run, bbox, sym_type,
             pose_wc, proj_depth, cam, cfg, need_single, need_dual)
 
-    e_local, prob, ok, pts_n, obj_m, Two = jax.vmap(one)(bboxes, run_mask,
-                                                         sym_types)
+    e_local, prob, ok, pts_n, obj_m, Two = jax.vmap(post)(
+        pts_w, sel, battr_v, bboxes, run_mask, sym_types, ok_p, ok_c,
+        ok_cl)
     return e_local, prob, ok, (pts_n, obj_m, Two)
 
 

@@ -137,8 +137,12 @@ def _propagate(pass_fn, labels0, N, outer_iters, jump_iters):
     """Min-label rounds + pointer jumping inside a converging while_loop.
 
     ``pass_fn(labels) -> labels`` performs one neighbor min-label pass;
-    typical object clouds settle in 1-2 rounds, while ``outer_iters``
-    bounds pathological chain topologies.
+    typical object clouds settle in a few rounds, while ``outer_iters``
+    bounds pathological chain topologies.  Returns
+    ``(labels, converged)``: converged is False when the bound truncated
+    a still-changing propagation — callers MUST surface that (a
+    truncated run silently yields fragment components; the round-3
+    oracle sweep caught exactly this as 0.1-0.2 m center bias).
     """
     def round_fn(labels):
         labels = pass_fn(labels)
@@ -161,17 +165,19 @@ def _propagate(pass_fn, labels0, N, outer_iters, jump_iters):
         changed = jnp.any(new != labels)
         return new, changed, it + 1
 
-    labels, _, _ = jax.lax.while_loop(
+    labels, still_changing, _ = jax.lax.while_loop(
         cond, body, (round_fn(labels0), jnp.bool_(True), jnp.int32(1)))
-    return labels
+    return labels, ~still_changing
 
 
 def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
                          outer_iters: int = 8, jump_iters: int = 12,
-                         exact: bool = False):
+                         exact: bool = False, with_converged: bool = False):
     """Labels [N]: each point's component id = min point index in component.
 
-    Masked-out points get label N (out of range).
+    Masked-out points get label N (out of range).  With
+    ``with_converged=True`` additionally returns the convergence flag
+    (see _propagate).
     """
     N = pts.shape[0]
     tol2 = jnp.float32(tol * tol)
@@ -191,7 +197,8 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
             return _min_label_pass(pts, mask, labels, tol2)
         return _min_label_pass_mm(pts_c, nrm, mask, labels, tol2)
 
-    return _propagate(pass_fn, labels0, N, outer_iters, jump_iters)
+    labels, conv = _propagate(pass_fn, labels0, N, outer_iters, jump_iters)
+    return (labels, conv) if with_converged else labels
 
 
 def _grid_offsets(tol: float, leaf: float):
@@ -225,7 +232,8 @@ def grid_supported(tol: float, leaf: float, max_span: float) -> bool:
 
 def connected_components_grid(pts: jnp.ndarray, cells: jnp.ndarray,
                               mask: jnp.ndarray, tol: float, leaf: float,
-                              outer_iters: int = 8, jump_iters: int = 12):
+                              outer_iters: int = 8, jump_iters: int = 12,
+                              with_converged: bool = False):
     """Grid-hash connected components for voxel-downsampled clouds.
 
     PRECONDITION: each unmasked point occupies a distinct ``cells`` row
@@ -277,7 +285,68 @@ def connected_components_grid(pts: jnp.ndarray, cells: jnp.ndarray,
     def pass_fn(labels):
         return jnp.minimum(labels, jnp.min(labels[nbr], axis=1))
 
-    return _propagate(pass_fn, labels0, N, outer_iters, jump_iters)
+    labels, conv = _propagate(pass_fn, labels0, N, outer_iters, jump_iters)
+    return (labels, conv) if with_converged else labels
+
+
+def components_compacted(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
+                         outer_iters: int, jump_iters: int,
+                         compact_cap: int, with_converged: bool = False):
+    """Components with the unmasked points compacted into the front
+    ``compact_cap`` lanes — PRECONDITION: sum(mask) <= compact_cap (the
+    caller must guarantee it, e.g. with an outer lax.cond; overflowed
+    points would silently be dropped otherwise).
+
+    The supporting-plane filter typically discards ~half of the voxel
+    cloud before clustering (cabinet frames: 13k voxels -> 6.6k
+    survivors), but masked lanes still pay full price in every [B, N]
+    distance pass; compacting (stable order, so min-index labels map
+    back exactly) quarters the quadratic pass cost.
+    """
+    N = pts.shape[0]
+    # stable: unmasked points keep their original relative order, so the
+    # min compacted index maps to the min original index per component
+    order = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.int32),
+                        stable=True)
+    sub = order[:compact_cap].astype(jnp.int32)
+    lab_c, conv = connected_components(pts[sub], mask[sub], tol,
+                                       outer_iters, jump_iters,
+                                       with_converged=True)
+    orig = jnp.where(lab_c < compact_cap,
+                     sub[jnp.clip(lab_c, 0, compact_cap - 1)],
+                     jnp.int32(N))
+    labels = jnp.full((N,), N, jnp.int32).at[sub].set(orig)
+    return (labels, conv) if with_converged else labels
+
+
+def connected_components_compact(pts: jnp.ndarray, mask: jnp.ndarray,
+                                 tol: float, outer_iters: int = 8,
+                                 jump_iters: int = 12,
+                                 compact_cap: int | None = None):
+    """``components_compacted`` with a lax.cond fallback to the
+    full-width pass when the survivors overflow ``compact_cap`` —
+    results ALWAYS equal ``connected_components``.
+
+    CAVEAT: under vmap the cond lowers to select and BOTH branches
+    execute; batched callers should hoist the decision outside the vmap
+    (frontend/extractor._cluster_select_batch does) and call
+    ``components_compacted`` / ``connected_components`` directly.
+    """
+    N = pts.shape[0]
+    if compact_cap is None or compact_cap >= N:
+        return connected_components(pts, mask, tol, outer_iters,
+                                    jump_iters)
+
+    def compact_branch(_):
+        return components_compacted(pts, mask, tol, outer_iters,
+                                    jump_iters, compact_cap)
+
+    def full_branch(_):
+        return connected_components(pts, mask, tol, outer_iters,
+                                    jump_iters)
+
+    return jax.lax.cond(jnp.sum(mask) <= compact_cap, compact_branch,
+                        full_branch, None)
 
 
 def select_cluster(pts: jnp.ndarray, mask: jnp.ndarray, labels: jnp.ndarray,
@@ -334,6 +403,12 @@ def euclidean_filter(pts: jnp.ndarray, mask: jnp.ndarray, center: jnp.ndarray,
                                            grid_leaf,
                                            outer_iters=outer_iters)
     else:
+        # NOTE: connected_components_compact is NOT used here although
+        # the plane filter discards ~half the lanes: this function runs
+        # under the extractor's vmap over detections, where its lax.cond
+        # lowers to select and BOTH branches execute — measured +38% on
+        # the 16384-tier extraction instead of -4x (BENCH_DETAILS r3).
+        # The compacted path remains available for non-vmapped callers.
         labels = connected_components(pts, mask, tol,
                                       outer_iters=outer_iters, exact=exact)
     return select_cluster(pts, mask, labels, center, min_size, center_dis)

@@ -67,12 +67,13 @@ def _sharded_body(est0, obj_mask, p2, b2, pr2, m2, p3, me3, pr3, m3,
 
     def global_chi2(est):
         return jax.lax.psum(
-            soa.soa_chi2(est, prep, w2d, w3d, wg, normal, K, hd), AXIS)
+            soa.soa_chi2_chunked(est, prep, w2d, w3d, wg, normal, K, hd),
+            AXIS)
 
     def step(carry, _):
         est, lam, nu, chi2 = carry
-        H_l, g_l, _ = soa.soa_normal_eq(est, prep, w2d, w3d, wg, normal,
-                                        K, hd)
+        H_l, g_l, _ = soa.soa_normal_eq_chunked(est, prep, w2d, w3d, wg,
+                                                normal, K, hd)
         H = jax.lax.psum(H_l, AXIS)                      # [O, 9, 9]
         g = jax.lax.psum(g_l, AXIS)                      # [O, 9]
 

@@ -232,3 +232,26 @@ def test_chain_seed_converges_dense_blob():
                 parent[max(ri, rj)] = min(ri, rj)
     gt = np.array([find(i) if mask[i] else N for i in range(N)])
     assert (lab == gt).all()
+
+
+def test_connected_components_compact_identical():
+    """The compacted clustering path (cluster only the unmasked points
+    when they fit in compact_cap lanes; lax.cond fallback otherwise)
+    must produce labels identical to the full-width pass in BOTH
+    regimes."""
+    from object_oriented_slam_tpu.ops import cluster as cl
+    rng = np.random.default_rng(5)
+    N = 2048
+    for frac in (0.3, 0.7):       # below / above the 50% compact cap
+        pts = rng.normal(0, 1.0, (N, 3)).astype(np.float32)
+        for k in range(4):        # dense blobs -> nontrivial components
+            c = rng.normal(0, 2, 3)
+            pts[k * 300:k * 300 + 300] = c + rng.normal(
+                0, 0.015, (300, 3))
+        mask = rng.random(N) < frac
+        a = np.asarray(cl.connected_components(
+            jnp.asarray(pts), jnp.asarray(mask), 0.05, outer_iters=48))
+        b = np.asarray(cl.connected_components_compact(
+            jnp.asarray(pts), jnp.asarray(mask), 0.05, outer_iters=48,
+            compact_cap=N // 2))
+        assert np.array_equal(a, b), frac
