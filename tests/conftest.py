@@ -13,9 +13,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("OSLAM_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Serial LLVM codegen: two full-suite runs (2026-08-21) died with a
+# SIGSEGV inside backend_compile_and_load while compiling a fresh
+# program ~40 min into the process (different test each time; the same
+# tests pass standalone).  XLA:CPU's parallel codegen splits modules
+# onto a thread pool; forcing one split removes the suspected race at
+# a small compile-time cost on this 2-core host.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
