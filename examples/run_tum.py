@@ -204,6 +204,10 @@ def main():
         export_live_snapshot(args.out, slam.tracker.state, n)
     print(f"Processed {n} frames in {dt:.1f}s ({n / dt:.2f} fps)")
     print("Timing:", timing_summary(slam.tracker.metrics))
+    trace = slam.tracker.depth_trace
+    if trace and max(trace) != min(trace):
+        print(f"Pipeline depth (adaptive): start {trace[0]} "
+              f"final {trace[-1]} max {max(trace)}")
 
     slam.save_objects_to_file(os.path.join(args.out, "objects.txt"))
     slam.save_object_history(os.path.join(args.out, "object_history.txt"))

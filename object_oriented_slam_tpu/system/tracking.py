@@ -195,6 +195,24 @@ class Tracking:
         from collections import deque
         self.pipelined = True
         self.pipeline_depth = 4
+        # Adaptive pipeline depth.  The tunneled device's blocking fetch
+        # cost swings by the hour (7-45 ms measured, BENCH_DETAILS); when
+        # the due frame's extraction copy has NOT landed by processing
+        # time, the fetch blocks for the residual compute+transfer.
+        # Deepening the window gives later copies more frame periods to
+        # land.  Controller: if the last 3 extraction fetches all blocked
+        # (> adapt_deepen_s), deepen by one (cap adapt_depth_max); if the
+        # last 16 were all free (< adapt_shallow_s) and we are above the
+        # configured base, shallow by one (lower result latency for live
+        # viz / checkpointing).  Pure scheduling — per-frame processing
+        # order and inputs are unchanged, so results are identical at any
+        # depth (tests/test_pipeline_equivalence.py, test_adaptive_depth.py).
+        self.adaptive_depth = True
+        self.adapt_depth_max = 8
+        self.adapt_deepen_s = 3e-3
+        self.adapt_shallow_s = 1e-3
+        self._depth_base = self.pipeline_depth
+        self._adapt_fetches = deque(maxlen=16)
         # LM fusion: ride the due frame's global-BA LM on the next
         # extraction program (one device program per frame total).  The
         # right design for real TPU hardware (dispatch is ~us there), but
@@ -221,6 +239,7 @@ class Tracking:
         self.metrics: Dict[str, List[float]] = {"backend": [], "frontend": [],
                                                 "total": [], "dispatch": [],
                                                 "fetch": [], "host": []}
+        self.depth_trace: List[int] = []  # pipeline_depth per frame
 
     # ------------------------------------------------------------------
     def open_ground_plane_estimation(self):
@@ -398,7 +417,8 @@ class Tracking:
         if self.pipeline_depth >= 2 and self.extractor is not None:
             self._pending_extraction.append(item)
             self._midway_due()
-            if len(self._pending_extraction) >= self.pipeline_depth:
+            # `while`, not `if`: adaptive shallowing drains the surplus
+            while len(self._pending_extraction) >= self.pipeline_depth:
                 self._process_frame_obs(*self._pending_extraction.popleft())
             # backend time is recorded inside the deferred processing
             t1 = t2 = t3 = time.perf_counter()
@@ -408,6 +428,7 @@ class Tracking:
             self.metrics["backend"].append(t3 - t2)
         self.metrics["frontend"].append(t1 - t0)
         self.metrics["total"].append(t3 - t0)
+        self.depth_trace.append(self.pipeline_depth)
         return True
 
     # ------------------------------------------------------------------
@@ -474,7 +495,10 @@ class Tracking:
                  np.asarray(va, np.float64).reshape(-1, 1)], axis=1)
         elif ext_out is not None:
             ext_np = np.asarray(ext_out, np.float64)
-        self.metrics["fetch"].append(time.perf_counter() - tp0)
+        fetch_s = time.perf_counter() - tp0
+        self.metrics["fetch"].append(fetch_s)
+        if ext_np is not None and self.pipeline_depth >= 2:
+            self._adapt_depth(fetch_s)
         if ext_np is not None:
             # the extractor may return fewer rows than detections (its
             # detection-axis capacity); the overflow keeps 2D-only obs
@@ -570,6 +594,25 @@ class Tracking:
         if self.pipeline_depth >= 2 and self.extractor is not None:
             # deferred frame: the grab-side loop recorded only dispatch
             self.metrics["backend"].append(self._t3 - self._t2)
+
+    # ------------------------------------------------------------------
+    def _adapt_depth(self, fetch_s: float):
+        """Adjust pipeline_depth from the observed blocking-fetch cost of
+        extraction results (see the controller comment in __init__)."""
+        if not self.adaptive_depth:
+            return
+        w = self._adapt_fetches
+        w.append(fetch_s)
+        recent = list(w)
+        if (len(recent) >= 3 and min(recent[-3:]) > self.adapt_deepen_s
+                and self.pipeline_depth < self.adapt_depth_max):
+            self.pipeline_depth += 1
+            w.clear()
+        elif (len(recent) == w.maxlen
+                and max(recent) < self.adapt_shallow_s
+                and self.pipeline_depth > self._depth_base):
+            self.pipeline_depth -= 1
+            w.clear()
 
     # ------------------------------------------------------------------
     def _check_keyframes(self, associations, pose_wc) -> List[bool]:
