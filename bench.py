@@ -502,6 +502,10 @@ def main():
         "baseline_backend_ms_per_frame": round(base_be_mean_ms, 1),
         "backend_ba_ms_per_frame": round(lm_ms, 3),
         "vs_baseline_backend": round(base_be_final_ms / lm_ms, 1),
+        # adaptive-depth controller activity in the last timed pass
+        # (4 = held base; >4 = blocked fetches triggered deepening)
+        "pipeline_depth_max": (max(slam.tracker.depth_trace)
+                               if slam.tracker.depth_trace else 0),
     }
 
     # ---- rooflines for both device programs ---------------------------
