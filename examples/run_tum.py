@@ -68,6 +68,10 @@ def main():
                          "(Optimizer.cpp:153-156), which lets pixel-scale "
                          "projection residuals dominate -- raise this "
                          "when the input trajectory is accurate")
+    ap.add_argument("--pipeline-depth", type=int, default=0, metavar="N",
+                    help="pin the extraction-deferral window (1=eager; "
+                         "default: adaptive, 4 deepening to 8 on blocked "
+                         "fetches). Pinning disables adaptation.")
     ap.add_argument("--distributed", action="store_true",
                     help="shard the backend BA over all devices "
                          "(multi-host via JAX_COORDINATOR_ADDRESS/"
@@ -142,6 +146,9 @@ def main():
 
     slam = System(args.settings, extractor=extractor,
                   plane_estimator=plane_est)
+    if args.pipeline_depth > 0:
+        slam.tracker.pipeline_depth = args.pipeline_depth
+        slam.tracker.adaptive_depth = False
     if not args.no_depth:
         slam.open_ground_plane_estimation()
         if fuse_lm:
