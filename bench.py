@@ -448,13 +448,47 @@ def main():
     # ---- pass 1: warm (compiles, tier growth, remote-service ramp) ----
     warm, _, _ = run_pipeline(frames)
     # ---- passes 2+3: timed, best-of-two (the tunnel's minute-scale
-    # latency swings would otherwise dominate the mean) ----------------
-    e2e_mean, e2e_p50 = float("inf"), float("inf")
+    # latency swings would otherwise dominate the mean).  All tail
+    # statistics come from the single best pass so mean/p50/p90 are
+    # mutually consistent. ---------------------------------------------
+    best = None
     for _ in range(2):
-        slam, per_frame, drain = run_pipeline(frames)
-        e2e_mean = min(e2e_mean,
-                       (sum(per_frame) + drain) / n_frames * 1e3)
-        e2e_p50 = min(e2e_p50, float(np.median(per_frame)) * 1e3)
+        slam_i, per_frame_i, drain_i = run_pipeline(frames)
+        mean_i = (sum(per_frame_i) + drain_i) / n_frames * 1e3
+        if best is None or mean_i < best[0]:
+            best = (mean_i, slam_i, per_frame_i, drain_i)
+    e2e_mean, slam, per_frame, drain = best
+    pf_ms = np.asarray(per_frame) * 1e3
+    e2e_p50 = float(np.median(pf_ms))
+
+    def _stage_tail(samples, prefix):
+        """p50/p90/max of a per-frame stage distribution (ms)."""
+        if not samples:
+            return {}
+        a = np.asarray(samples) * 1e3
+        return {prefix + "p50_ms": round(float(np.percentile(a, 50)), 3),
+                prefix + "p90_ms": round(float(np.percentile(a, 90)), 3),
+                prefix + "max_ms": round(float(a.max()), 3)}
+
+    m = slam.tracker.metrics
+    tail = {
+        "e2e_p90_ms": round(float(np.percentile(pf_ms, 90)), 3),
+        "e2e_p99_ms": round(float(np.percentile(pf_ms, 99)), 3),
+        "e2e_max_ms": round(float(pf_ms.max()), 3),
+        # the one-shot ground-plane frame (first frame with depth) is a
+        # per-run fixed cost the reference pays too; mean excluding it
+        # separates that from the recurring tail
+        "e2e_frame0_ms": round(float(pf_ms[0]), 3),
+        "e2e_mean_excl_frame0_ms": round(float(pf_ms[1:].mean()), 3),
+        "drain_ms": round(drain * 1e3, 3),
+    }
+    tail.update(_stage_tail(m["dispatch"], "dispatch_"))
+    tail.update(_stage_tail(m["fetch"], "fetch_"))
+    tail.update(_stage_tail(m["host"], "host_"))
+    tail.update(_stage_tail(m["backend"], "backend_"))
+    # fetches that blocked on the tunnel (async copy had not landed)
+    tail["blocked_fetches"] = int(sum(1 for f in m["fetch"] if f > 3e-3))
+    tail["fetch_total_ms"] = round(sum(m["fetch"]) * 1e3, 2)
 
     K32 = jnp.asarray(slam.tracker.K.astype(np.float32))
     Knp = slam.tracker.K.astype(np.float64)
@@ -502,11 +536,13 @@ def main():
         "baseline_backend_ms_per_frame": round(base_be_mean_ms, 1),
         "backend_ba_ms_per_frame": round(lm_ms, 3),
         "vs_baseline_backend": round(base_be_final_ms / lm_ms, 1),
-        # adaptive-depth controller activity in the last timed pass
-        # (4 = held base; >4 = blocked fetches triggered deepening)
+        # adaptive-depth controller activity in the best timed pass
+        # (4 = held base; >4 = blocked fetches triggered deepening;
+        # null = no frames ran, not "depth 0")
         "pipeline_depth_max": (max(slam.tracker.depth_trace)
-                               if slam.tracker.depth_trace else 0),
+                               if slam.tracker.depth_trace else None),
     }
+    out.update(tail)
 
     # ---- rooflines for both device programs ---------------------------
     out.update(roofline(

@@ -58,6 +58,33 @@ def _se3_inv_np(a):
     return np.concatenate([-_quat_rotate_np(qi, a[:3]), qi])
 
 
+class _StampIndex:
+    """Sorted-timestamp index for 1 ms-tolerance association.
+
+    Replaces the reference's linear scan over all timestamps per lookup
+    (io.cpp:97-123) with a bisect over a sorted float array — O(log N)
+    per call instead of O(N), which matters on 10k-frame sequences where
+    several lookups happen per frame.  Returns the *nearest* entry within
+    tolerance (the scan returned the first in file order; timestamps are
+    ~30 ms apart so at most one entry ever matches)."""
+
+    def __init__(self, mapping: Dict[str, object]):
+        self.keys = sorted(mapping, key=float)
+        self.times = np.array([float(k) for k in self.keys], np.float64)
+        self.mapping = mapping
+
+    def lookup(self, stamp, tol: float = 0.001):
+        t = float(stamp)
+        i = int(np.searchsorted(self.times, t))
+        best, best_d = None, tol
+        for j in (i - 1, i):
+            if 0 <= j < len(self.times):
+                d = abs(float(self.times[j]) - t)
+                if d < best_d:
+                    best, best_d = self.keys[j], d
+        return self.mapping[best] if best is not None else None
+
+
 def _read_rows(path: str) -> List[List[str]]:
     rows = []
     if not os.path.exists(path):
@@ -109,6 +136,10 @@ class TUMDataset:
 
         self.current = 0
         self.odometry: Optional[Dict[str, np.ndarray]] = None
+        self._gt_idx = _StampIndex(self.gt)
+        self._depth_idx = _StampIndex(self.rgb_to_depth)
+        self._gt_ts_idx = _StampIndex(self.rgb_to_gt)
+        self._odom_idx: Optional[_StampIndex] = None
 
         self._native = None
         if use_native:
@@ -117,8 +148,7 @@ class TUMDataset:
                 if nl.native_available():
                     dps, rps = [], []
                     for i in range(self.total):
-                        dp = self._assoc(self.rgb_to_depth,
-                                         self.rgb_stamps[i])
+                        dp = self._depth_idx.lookup(self.rgb_stamps[i])
                         dps.append(os.path.join(self.dir, dp[1])
                                    if dp else "")
                         rps.append(os.path.join(self.rgb_dir,
@@ -127,23 +157,14 @@ class TUMDataset:
             except Exception:
                 self._native = None
 
-    # -- association at 1 ms tolerance (io.cpp:97-123) -------------------
-    @staticmethod
-    def _assoc(mapping: Dict[str, object], stamp: str):
-        t = float(stamp)
-        for k, v in mapping.items():
-            if abs(float(k) - t) < 0.001:
-                return v
-        return None
-
     def pose_for(self, index: int) -> Optional[np.ndarray]:
         rgb_ts = self.rgb_stamps[index]
-        if self.odometry is not None:
-            return self._assoc(self.odometry, rgb_ts)
-        gt_ts = self._assoc(self.rgb_to_gt, rgb_ts)
+        if self._odom_idx is not None:
+            return self._odom_idx.lookup(rgb_ts)
+        gt_ts = self._gt_ts_idx.lookup(rgb_ts)
         if gt_ts is None:
             return None
-        return self._assoc(self.gt, gt_ts)
+        return self._gt_idx.lookup(gt_ts)
 
     def read_frame(self, index: int):
         """Returns (timestamp, pose7[w<-c], depth u16, rgb u8) or None."""
@@ -153,7 +174,7 @@ class TUMDataset:
         pose = self.pose_for(index)
         if pose is None:
             return None
-        dp = self._assoc(self.rgb_to_depth, rgb_ts)
+        dp = self._depth_idx.lookup(rgb_ts)
         if dp is None:
             return None
         if self._native is not None:
@@ -195,7 +216,7 @@ class TUMDataset:
         (generateValidVector, io.cpp:292-325)."""
         out = []
         for i in range(self.total):
-            if self._assoc(self.rgb_to_depth, self.rgb_stamps[i]) is None:
+            if self._depth_idx.lookup(self.rgb_stamps[i]) is None:
                 continue
             if self.pose_for(i) is None:
                 continue
@@ -232,13 +253,15 @@ class TUMDataset:
         if calibrate:
             # align first odometry pose to the groundtruth of its frame
             trans = None
+            odom_idx = _StampIndex(odom)
             for idx, stamp in enumerate(self.rgb_stamps):
                 gt_pose = self.pose_for(idx)
-                odom_pose = self._assoc(odom, stamp)
+                odom_pose = odom_idx.lookup(stamp)
                 if gt_pose is not None and odom_pose is not None:
                     trans = _se3_mul_np(gt_pose, _se3_inv_np(odom_pose))
                     break
             if trans is not None:
                 odom = {k: _se3_mul_np(trans, v) for k, v in odom.items()}
         self.odometry = odom
+        self._odom_idx = _StampIndex(odom)
         return True

@@ -194,6 +194,10 @@ class Tracking:
         # sync() flushes both queues.  pipeline_depth=1 => eager.
         from collections import deque
         self.pipelined = True
+        # NOTE: ``pipeline_depth`` is a property — assigning it re-bases
+        # the adaptive controller (``_depth_base``) so a caller-pinned
+        # depth is never silently drifted back toward the old base; the
+        # controller itself adjusts ``_pipeline_depth`` directly.
         self.pipeline_depth = 4
         # Adaptive pipeline depth.  The tunneled device's blocking fetch
         # cost swings by the hour (7-45 ms measured, BENCH_DETAILS); when
@@ -211,8 +215,9 @@ class Tracking:
         self.adapt_depth_max = 8
         self.adapt_deepen_s = 3e-3
         self.adapt_shallow_s = 1e-3
-        self._depth_base = self.pipeline_depth
         self._adapt_fetches = deque(maxlen=16)
+        self._flushing = False  # sync() drain: fetches there say nothing
+        #                         about steady-state latency, skip adaptation
         # LM fusion: ride the due frame's global-BA LM on the next
         # extraction program (one device program per frame total).  The
         # right design for real TPU hardware (dispatch is ~us there), but
@@ -240,6 +245,22 @@ class Tracking:
                                                 "total": [], "dispatch": [],
                                                 "fetch": [], "host": []}
         self.depth_trace: List[int] = []  # pipeline_depth per frame
+
+    # ------------------------------------------------------------------
+    @property
+    def pipeline_depth(self) -> int:
+        return self._pipeline_depth
+
+    @pipeline_depth.setter
+    def pipeline_depth(self, value: int):
+        """Pin/re-base the deferral window.  Also resets the adaptive
+        controller's base so it never drifts a caller-set depth back
+        toward an older value (the controller mutates ``_pipeline_depth``
+        directly and leaves the base alone)."""
+        self._pipeline_depth = int(value)
+        self._depth_base = int(value)
+        if hasattr(self, "_adapt_fetches"):
+            self._adapt_fetches.clear()
 
     # ------------------------------------------------------------------
     def open_ground_plane_estimation(self):
@@ -417,9 +438,14 @@ class Tracking:
         if self.pipeline_depth >= 2 and self.extractor is not None:
             self._pending_extraction.append(item)
             self._midway_due()
-            # `while`, not `if`: adaptive shallowing drains the surplus
+            # `while`, not `if`: adaptive shallowing drains the surplus.
+            # Re-run _midway_due after every pop — a two-item drain shifts
+            # queue indices by 2 while the midway index moves by 1, which
+            # would otherwise skip one phase-A handle's midway slot and
+            # push it into the blocking midway fallback at processing time.
             while len(self._pending_extraction) >= self.pipeline_depth:
                 self._process_frame_obs(*self._pending_extraction.popleft())
+                self._midway_due()
             # backend time is recorded inside the deferred processing
             t1 = t2 = t3 = time.perf_counter()
         else:
@@ -599,19 +625,22 @@ class Tracking:
     def _adapt_depth(self, fetch_s: float):
         """Adjust pipeline_depth from the observed blocking-fetch cost of
         extraction results (see the controller comment in __init__)."""
-        if not self.adaptive_depth:
+        if not self.adaptive_depth or self._flushing:
+            # sync()-time fetches read async copies that never had their
+            # full deferral window — they measure the flush, not the
+            # steady-state tunnel latency, and must not deepen the window
             return
         w = self._adapt_fetches
         w.append(fetch_s)
         recent = list(w)
         if (len(recent) >= 3 and min(recent[-3:]) > self.adapt_deepen_s
-                and self.pipeline_depth < self.adapt_depth_max):
-            self.pipeline_depth += 1
+                and self._pipeline_depth < self.adapt_depth_max):
+            self._pipeline_depth += 1
             w.clear()
         elif (len(recent) == w.maxlen
                 and max(recent) < self.adapt_shallow_s
-                and self.pipeline_depth > self._depth_base):
-            self.pipeline_depth -= 1
+                and self._pipeline_depth > self._depth_base):
+            self._pipeline_depth -= 1
             w.clear()
 
     # ------------------------------------------------------------------
@@ -1012,9 +1041,13 @@ class Tracking:
 
     def sync(self):
         """Flush the pipeline: process deferred frames in order, drain."""
-        while self._pending_extraction:
-            self._process_frame_obs(*self._pending_extraction.popleft())
-        self._drain_ready_backends(all_pending=True)
+        self._flushing = True
+        try:
+            while self._pending_extraction:
+                self._process_frame_obs(*self._pending_extraction.popleft())
+            self._drain_ready_backends(all_pending=True)
+        finally:
+            self._flushing = False
 
     # ------------------------------------------------------------------
     @staticmethod

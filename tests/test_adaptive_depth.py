@@ -37,7 +37,11 @@ def test_controller_deepens_on_blocked_fetches():
 
 def test_controller_shallows_after_sustained_free_fetches():
     tr = _tracker()
-    tr.pipeline_depth = tr.adapt_depth_max
+    base = tr.pipeline_depth
+    # controller-deepened during a bad hour (assignment would re-base)
+    for _ in range(64):
+        tr._adapt_depth(10 * tr.adapt_deepen_s)
+    assert tr.pipeline_depth == tr.adapt_depth_max
     n = tr._adapt_fetches.maxlen
     for _ in range(n - 1):
         tr._adapt_depth(0.1 * tr.adapt_shallow_s)
@@ -47,7 +51,36 @@ def test_controller_shallows_after_sustained_free_fetches():
     # drains all the way back to the configured base, never below
     for _ in range(20 * n):
         tr._adapt_depth(0.1 * tr.adapt_shallow_s)
-    assert tr.pipeline_depth == tr._depth_base
+    assert tr.pipeline_depth == tr._depth_base == base
+
+
+def test_pinned_depth_rebases_controller():
+    """Assigning ``pipeline_depth`` pins it: the controller must never
+    silently drift a caller-set depth back toward the old base."""
+    tr = _tracker()
+    tr.pipeline_depth = 6
+    for _ in range(64):
+        tr._adapt_depth(0.1 * tr.adapt_shallow_s)
+    assert tr.pipeline_depth == 6
+    # ...while deepening above the pin still works, and drains back to it
+    for _ in range(3):
+        tr._adapt_depth(10 * tr.adapt_deepen_s)
+    assert tr.pipeline_depth == 7
+    for _ in range(20 * tr._adapt_fetches.maxlen):
+        tr._adapt_depth(0.1 * tr.adapt_shallow_s)
+    assert tr.pipeline_depth == 6
+
+
+def test_sync_flush_does_not_adapt():
+    """sync()-time fetches measure the flush, not steady-state latency;
+    they must not deepen the window (carries over on tracker reuse)."""
+    tr = _tracker()
+    base = tr.pipeline_depth
+    tr._flushing = True
+    for _ in range(64):
+        tr._adapt_depth(10 * tr.adapt_deepen_s)
+    assert tr.pipeline_depth == base
+    assert len(tr._adapt_fetches) == 0
 
 
 def test_controller_mixed_fetches_hold_depth():
@@ -103,8 +136,10 @@ def test_adaptive_depth_matches_eager(mode):
             # every fetch counts as blocked -> depth climbs 4 -> 8 mid-run
             tr.adapt_deepen_s = -1.0
         elif adapt_mode == "shrink":
-            # start deep, every fetch counts as free -> drains back to base
-            tr.pipeline_depth = tr.adapt_depth_max
+            # simulate an earlier bad hour (controller-deepened to the
+            # cap); every run fetch counts as free -> drains back to base
+            while tr.pipeline_depth < tr.adapt_depth_max:
+                tr._adapt_depth(10 * tr.adapt_deepen_s)
             tr._adapt_fetches = type(tr._adapt_fetches)(maxlen=2)
             tr.adapt_deepen_s = float("inf")
             tr.adapt_shallow_s = float("inf")
