@@ -89,7 +89,12 @@ class Tracking:
     pose_wc7, ground_plane_vec4) -> (vec10_local[N,10], prob[N], valid[N])``.
     """
 
-    # fixed capacities of the batched backend call
+    # capacities of the batched backend call.  MAX_OBJECTS is the
+    # INITIAL object tier: the object axis grows 24 -> 48 -> 96 -> ...
+    # on demand (one recompile per growth, _grow_object_tier), because
+    # the reference has no instance cap at all (Optimizer.cpp:175-180
+    # makes a vertex per initialized instance; Map.cpp:31-42 grows
+    # unboundedly).  The observation axes are hard-capped ring windows.
     MAX_OBJECTS = 24
     MAX_OBS2D = 512
     MAX_OBS3D = 256
@@ -232,6 +237,7 @@ class Tracking:
         self._pending_extraction = deque()
         self._pending_backends = deque()   # (frame_no, est, slots, nobs)
         self._backend_calls = 0
+        self.max_objects = self.MAX_OBJECTS  # current object-axis tier
         self._init_np_buffers()
         # packed [11] output (vec10, ok) -> one host fetch per attempt
         def _init_packed(p, b, m, K):
@@ -354,7 +360,7 @@ class Tracking:
                                    jnp.asarray(self.K.astype(np.float32)),
                                    jnp.asarray(prep["normal"]),
                                    prep["gset"],
-                                   self._lm_layout(self.MAX_OBJECTS,
+                                   self._lm_layout(prep["O"],
                                                    prep["M2t"],
                                                    prep["M3t"]),
                                    self.lm_cfg)
@@ -384,7 +390,7 @@ class Tracking:
                     lm_args = (jnp.asarray(prep["flat"]), prep["est_prev"],
                                jnp.asarray(self.K.astype(np.float32)),
                                jnp.asarray(prep["normal"]), prep["gset"],
-                               self._lm_layout(self.MAX_OBJECTS,
+                               self._lm_layout(prep["O"],
                                                prep["M2t"], prep["M3t"]),
                                self.lm_cfg)
                     res = self.extractor.dispatch_with_lm(
@@ -717,7 +723,7 @@ class Tracking:
     # slot's capacity is exceeded -- identical to the "most recent M"
     # window of a rebuilt batch since edge order is irrelevant to the LM).
     def _init_np_buffers(self):
-        O, M2, M3 = self.MAX_OBJECTS, self.MAX_OBS2D, self.MAX_OBS3D
+        O, M2, M3 = self.max_objects, self.MAX_OBS2D, self.MAX_OBS3D
         self._slot_of: Dict[int, int] = {}
         self._slot_to_instance = []
         # one contiguous float32 block; the named buffers are views into it
@@ -768,16 +774,41 @@ class Tracking:
     def _slot_for(self, inst: int):
         slot = self._slot_of.get(inst)
         if slot is None:
-            if len(self._slot_of) >= self.MAX_OBJECTS:
-                import logging
-                logging.getLogger("object_oriented_slam_tpu").warning(
-                    "instance %d exceeds the %d-object backend capacity; "
-                    "its observations are dropped from the optimization",
-                    inst, self.MAX_OBJECTS)
-                return None
+            if len(self._slot_of) >= self.max_objects:
+                self._grow_object_tier()
             slot = len(self._slot_of)
             self._slot_of[inst] = slot
         return slot
+
+    def _grow_object_tier(self):
+        """Double the object-axis capacity (24 -> 48 -> 96 -> ...).
+
+        Same grow-only tier policy as the observation axes' capacity
+        tiers: contents copied over, the on-device warm-start estimate
+        zero-padded (new slots have useprev=0 so the pad is never read),
+        one LM recompile at the new shape.  Replicates the reference's
+        unbounded instance count (Optimizer.cpp:175-180, Map.cpp:31-42)
+        within the fixed-shape batched design."""
+        old_views = {k: v.copy() for k, v in self._b_views.items()}
+        old_n2, old_n3 = self._b_n2, self._b_n3
+        old_state = (dict(self._slot_of), list(self._slot_to_instance),
+                     set(self._prev_batch_slots), self._est_prev_dev)
+        O_old = self.max_objects
+        self.max_objects = O_old * 2
+        import logging
+        logging.getLogger("object_oriented_slam_tpu").info(
+            "growing backend object tier %d -> %d", O_old, self.max_objects)
+        self._init_np_buffers()
+        for name, v in self._b_views.items():
+            v[:O_old] = old_views[name]
+        self._b_n2[:O_old] = old_n2
+        self._b_n3[:O_old] = old_n3
+        (self._slot_of, self._slot_to_instance,
+         self._prev_batch_slots, est_prev) = old_state
+        if est_prev is not None:
+            self._est_prev_dev = jnp.concatenate(
+                [est_prev, jnp.zeros((self.max_objects - O_old, 10),
+                                     jnp.float32)], axis=0)
 
     def _append_obs2d(self, inst, pose_cw, bbox, prob):
         slot = self._slot_for(inst)
@@ -808,20 +839,22 @@ class Tracking:
             cap *= 2
         return cap
 
-    def _get_unpack(self, M2t: int, M3t: int):
-        """Unpack jit for an observation-capacity tier.
+    def _get_unpack(self, O: int, M2t: int, M3t: int):
+        """Unpack jit for an (object, observation)-capacity tier.
 
         The LM cost at these shapes is dominated by per-op tensor size
         (measured 8.1 ms at [24,512/256] vs 2.5 ms at [24,128/64] on
         v5e), so the batch is packed at the smallest power-of-two
         capacity that holds the current observation counts; tiers only
-        grow (64/32 -> ... -> 512/256), each growth recompiling once.
+        grow (64/32 -> ... -> 512/256 on the observation axes,
+        24 -> 48 -> ... on the object axis), each growth recompiling
+        once.  ``O`` is passed explicitly because a prepared batch can
+        outlive a tier growth (LM fusion defers dispatch by a frame).
         """
-        key = (M2t, M3t)
+        key = (O, M2t, M3t)
         fn = self._unpack_cache.get(key)
         if fn is not None:
             return fn
-        O = self.MAX_OBJECTS
         shapes = [("est0", (O, 10)), ("objmask", (O,)), ("useprev", (O,)),
                   ("p2", (O, M2t, 7)), ("b2", (O, M2t, 4)),
                   ("pr2", (O, M2t)), ("m2", (O, M2t)),
@@ -896,7 +929,7 @@ class Tracking:
         self._prev_batch_slots = cur_slots
         est_prev = self._est_prev_dev
         if est_prev is None:
-            est_prev = jnp.zeros((self.MAX_OBJECTS, 10), jnp.float32)
+            est_prev = jnp.zeros((self.max_objects, 10), jnp.float32)
 
         # observation-capacity tier: ring buffers fill their prefix until
         # they wrap, so slicing [:, :Mt] covers every stored entry
@@ -911,11 +944,11 @@ class Tracking:
             v["pr2"][:, :M2t].ravel(), v["m2"][:, :M2t].ravel(),
             v["p3"][:, :M3t].ravel(), v["me3"][:, :M3t].ravel(),
             v["pr3"][:, :M3t].ravel(), v["m3"][:, :M3t].ravel()])
-        return flat_t, est_prev, M2t, M3t
+        return flat_t, est_prev, self.max_objects, M2t, M3t
 
     def _build_backend_batch(self) -> ObjectObservations:
-        flat_t, est_prev, M2t, M3t = self._pack_backend_batch()
-        return self._get_unpack(M2t, M3t)(jnp.asarray(flat_t), est_prev)
+        flat_t, est_prev, O, M2t, M3t = self._pack_backend_batch()
+        return self._get_unpack(O, M2t, M3t)(jnp.asarray(flat_t), est_prev)
 
     def restore_state(self, state: SlamState):
         """Resume from a checkpointed SlamState (system/checkpoint.py).
@@ -971,7 +1004,7 @@ class Tracking:
         """Pack the LM batch without dispatching (for LM fusion into the
         next frame's extraction program).  Returns the prep dict consumed
         by _dispatch_prepared / dispatch_with_lm + _finish_backend."""
-        flat_t, est_prev, M2t, M3t = self._pack_backend_batch()
+        flat_t, est_prev, O, M2t, M3t = self._pack_backend_batch()
         gset = self.state.ground_plane is not None
         normal = (self.state.ground_plane[:3].astype(np.float32)
                   if gset else np.zeros(3, np.float32))
@@ -980,7 +1013,7 @@ class Tracking:
         # counts (RefreshObjectHistory semantics, Tracking.cpp:810-852)
         nobs = {inst: len(self.state.objects[inst].obs2d_bbox)
                 for _, inst in self._slot_to_instance}
-        return {"flat": flat_t, "est_prev": est_prev, "M2t": M2t,
+        return {"flat": flat_t, "est_prev": est_prev, "O": O, "M2t": M2t,
                 "M3t": M3t, "gset": gset, "normal": normal, "nobs": nobs,
                 "slots": list(self._slot_to_instance)}
 
@@ -1002,7 +1035,7 @@ class Tracking:
 
     def _dispatch_prepared(self, prep):
         """Standalone LM dispatch of a prepared batch."""
-        obs = self._get_unpack(prep["M2t"], prep["M3t"])(
+        obs = self._get_unpack(prep["O"], prep["M2t"], prep["M3t"])(
             jnp.asarray(prep["flat"]), prep["est_prev"])
         est, chi2 = self._opt_fn(obs,
                                  jnp.asarray(self.K.astype(np.float32)),

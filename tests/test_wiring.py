@@ -112,12 +112,24 @@ def test_plane_manual_check(tmp_path):
     assert t2.state.ground_state == 2
 
 
-def test_object_capacity_warning(tmp_path, caplog):
-    """Instances beyond MAX_OBJECTS warn instead of silently dropping."""
-    import logging
+def test_object_tier_growth(tmp_path):
+    """Instances beyond the initial tier GROW the object axis (the
+    reference has no instance cap, Optimizer.cpp:175-180); buffer
+    contents and slot assignment survive the growth."""
     t = Tracking(Config(_yaml(tmp_path)))
-    with caplog.at_level(logging.WARNING, "object_oriented_slam_tpu"):
-        for inst in range(t.MAX_OBJECTS + 1):
-            t._append_obs2d(inst, np.zeros(7), np.array([0, 0, 10, 10.0]),
-                            1.0)
-    assert any("backend capacity" in r.message for r in caplog.records)
+    base = t.max_objects
+    for inst in range(base + 1):
+        t._append_obs2d(inst, np.zeros(7),
+                        np.array([1.0 * inst, 0, 10 + inst, 10.0]), 1.0)
+    assert t.max_objects == 2 * base
+    assert t._b_views["p2"].shape[0] == 2 * base
+    # every instance kept its slot and its observation
+    for inst in range(base + 1):
+        slot = t._slot_of[inst]
+        assert t._b_n2[slot] == 1
+        assert t._b_views["b2"][slot, 0, 0] == 1.0 * inst
+    # second growth works too
+    for inst in range(base + 1, 2 * base + 1):
+        t._append_obs2d(inst, np.zeros(7), np.array([0, 0, 10, 10.0]), 1.0)
+    assert t.max_objects == 4 * base
+    assert t._b_views["b2"][t._slot_of[3], 0, 0] == 3.0
