@@ -575,6 +575,62 @@ def main():
     except Exception:
         pass
 
+    # ---- offline (throughput/batch) mapping mode ----------------------
+    # One batched extraction program + one global-BA program per B
+    # frames instead of 2 programs/frame (system/offline.py).  On the
+    # tunneled device this trades per-program fixed overhead (5-30 ms)
+    # for device-compute-bound batches; wall-clock lands near the online
+    # pipeline (which hides its overheads by deferral) while the
+    # batched program's utilization is the honest per-chip number.
+    try:
+        from object_oriented_slam_tpu.frontend.batch_extractor import (
+            _extract_multi_packed, pack_frames_batch)
+        from object_oriented_slam_tpu.system.offline import OfflineMapper
+
+        def run_offline():
+            slam_o, cam_o, cfg_o = make_system()
+            mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=8)
+            return mapper.run(iter(frames))
+
+        run_offline()                      # warm (compiles)
+        off = min((run_offline() for _ in range(2)),
+                  key=lambda s: s["seconds"])
+        out["offline_fps"] = round(off["fps"], 2)
+        out["offline_ms_per_frame"] = round(
+            off["seconds"] / off["frames"] * 1e3, 3)
+        out["offline_vs_online"] = round(
+            out["offline_ms_per_frame"] and
+            e2e_mean / out["offline_ms_per_frame"], 2)
+
+        # roofline of the batched extraction program (B=8 cabinet
+        # frames, the shapes the mapper dispatches)
+        tr = slam.tracker
+        recs = []
+        for (fi, ts, pose, depth, rgb, det) in frames[1:9]:
+            det = np.asarray(det, np.float64).reshape(-1, 8)
+            recs.append((depth, det[:, 1:5], det[:, 5].astype(int),
+                         tr.run_gates(det, True), pose))
+        fb = pack_frames_batch(cam, ext_cfg, recs,
+                               tr.state.ground_plane, min_pad=8)
+        g = fb.B
+        while fb.pad % g != 0:
+            g //= 2
+        bargs = (jnp.asarray(fb.depths), jnp.asarray(fb.flat), cam,
+                 fb.cfg, fb.pad, fb.B, fb.need_s, fb.need_d)
+        bkw = {"cluster_groups": g}
+        lowered_b = _extract_multi_packed.lower(*bargs, **bkw).compile()
+        float(jnp.sum(_extract_multi_packed(*bargs, **bkw)))
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            float(jnp.sum(_extract_multi_packed(*bargs, **bkw)))
+        batch_ms = (time.perf_counter() - t0) / reps * 1e3
+        out["ext_batch_ms"] = round(batch_ms, 2)
+        out["ext_batch_frames"] = fb.B
+        out.update(roofline(lowered_b, batch_ms, "ext_batch_"))
+    except Exception as e:
+        out["offline_error"] = repr(e)[:200]
+
     print(json.dumps(out))
 
 

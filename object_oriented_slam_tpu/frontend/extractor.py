@@ -101,18 +101,23 @@ def _grid_clustering_ok(cam: Camera, cfg: ExtractorConfig) -> bool:
 
 
 def _stage_a_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
-                 cfg: ExtractorConfig, border_map=None):
+                 cfg: ExtractorConfig, border_map=None, row0=0, hw=None):
     """Stages (a)-(c) of one detection: bbox cloud -> voxel -> world,
     supporting-plane filter, center estimate.
 
     Returns (pts_v camera-frame voxel cloud, pts_w world cloud, cells_v,
     m2 filtered mask, center_w, ok_points, ok_center, battr_v | None).
+
+    ``row0``/``hw``: multi-frame batches pass depth as one stacked
+    [B*H, W] array with per-detection row offsets so the gather operand
+    stays unmapped 2D under the detection vmap (ops/backproject.py).
     """
     # (a) bbox cloud -> voxel -> world
-    pts_cam, m0 = bp.bbox_point_cloud(depth, bbox, cam, cfg.depth_range)
+    pts_cam, m0 = bp.bbox_point_cloud(depth, bbox, cam, cfg.depth_range,
+                                      row0=row0, hw=hw)
     battr_v = None
     if border_map is not None:
-        battr0 = bp.bbox_pixel_lookup(border_map, bbox)
+        battr0 = bp.bbox_pixel_lookup(border_map, bbox, row0=row0, hw=hw)
         pts_v, battr_v, cells_v, m1 = vx.voxel_downsample_full(
             pts_cam, battr0, m0, cfg.voxel_leaf, cfg.cloud_capacity)
     else:
@@ -128,7 +133,8 @@ def _stage_a_one(depth, bbox, pose_wc, ground_plane, cam: Camera,
 
     # (c) center estimate (world)
     center_cam, ok_center = bp.center_estimate(depth, bbox, cam,
-                                               cfg.depth_range)
+                                               cfg.depth_range,
+                                               row0=row0, hw=hw)
     center_w = R_wc @ center_cam + pose_wc[:3]
     return (pts_v, pts_w, cells_v, m2, center_w, ok_points, ok_center,
             battr_v)
@@ -283,9 +289,14 @@ def extract_local_ellipsoids(depth, bboxes, run_mask, pose_wc, ground_plane,
 
 def _sym_finish_one(Two, pts_n, obj_m, sym_src, ok_in, bbox, sym_type,
                     pose_wc, proj_depth, cam: Camera, cfg: ExtractorConfig,
-                    need_single: bool, need_dual: bool):
+                    need_single: bool, need_dual: bool, proj_row0=0,
+                    proj_hw=None):
     """Stages (g)-(h) of one detection: optional symmetry completion,
-    scale from normalized stats, camera-local assembly + validity."""
+    scale from normalized stats, camera-local assembly + validity.
+
+    ``proj_row0``/``proj_hw``: multi-frame batches pass proj_depth as
+    one stacked [B*H, W] map with per-detection row offsets (see
+    ops/backproject.bbox_point_cloud)."""
     prob = jnp.float32(1.0)
     if cfg.open_symmetry and (need_single or need_dual):
         from . import symmetry as sym_mod
@@ -297,14 +308,16 @@ def _sym_finish_one(Two, pts_n, obj_m, sym_src, ok_in, bbox, sym_type,
             res_s = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
                                               pose_oc, proj_depth, cam,
                                               dual=False, cfg=sym_cfg,
-                                              src_mask=sym_src)
+                                              src_mask=sym_src,
+                                              row0=proj_row0, hw=proj_hw)
             variants.append(("s", res_s, sym_mod.complete_cloud(
                 pts_n, obj_m, res_s, dual=False)))
         if need_dual:
             res_d = sym_mod.estimate_symmetry(pts_n, obj_m, bbox,
                                               pose_oc, proj_depth, cam,
                                               dual=True, cfg=sym_cfg,
-                                              src_mask=sym_src)
+                                              src_mask=sym_src,
+                                              row0=proj_row0, hw=proj_hw)
             variants.append(("d", res_d, sym_mod.complete_cloud(
                 pts_n, obj_m, res_d, dual=True)))
 

