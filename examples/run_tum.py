@@ -241,6 +241,7 @@ def _online_loop(args, slam, ds, cam, builder, external_builder, skip):
     t0 = time.time()
     n = 0
     n_seen = 0
+    last_panels = None
     for i, ts, pose, depth, rgb, det in ds.frames():
         n_seen += 1
         if n_seen <= skip:
@@ -256,9 +257,14 @@ def _online_loop(args, slam, ds, cam, builder, external_builder, skip):
             cv2.imwrite(os.path.join(args.out, f"frame_{i:04d}.png"), img)
         n += 1
         if args.viz_live and n % args.viz_live == 0:
-            from object_oriented_slam_tpu.viz.web_viewer import \
-                export_live_snapshot
-            export_live_snapshot(args.out, slam.tracker.state, n)
+            from object_oriented_slam_tpu.viz.web_viewer import (
+                export_live_snapshot, frame_panels)
+            last_panels = frame_panels(
+                rgb=rgb, depth=depth, det_mat=det,
+                map_objects=slam.map_objects, pose_wc=pose, K=cam.K,
+                depth_scale=cam.scale)
+            export_live_snapshot(args.out, slam.tracker.state, n,
+                                 image_panels=last_panels)
         if n % 10 == 0:
             print(f"frame {n} ({time.time() - t0:.1f}s)", flush=True)
         if args.max_frames and n >= args.max_frames:
@@ -268,7 +274,8 @@ def _online_loop(args, slam, ds, cam, builder, external_builder, skip):
         from object_oriented_slam_tpu.viz.web_viewer import \
             export_live_snapshot
         slam.tracker.sync()
-        export_live_snapshot(args.out, slam.tracker.state, n)
+        export_live_snapshot(args.out, slam.tracker.state, n,
+                             image_panels=last_panels)
     print(f"Processed {n} frames in {dt:.1f}s ({n / dt:.2f} fps)")
     print("Timing:", timing_summary(slam.tracker.metrics))
     trace = slam.tracker.depth_trace

@@ -78,7 +78,8 @@ def export_html(path: str,
                 object_history: Optional[Dict[int, np.ndarray]] = None,
                 max_points_per_cloud: int = 60000,
                 title: str = "object-oriented-slam map",
-                live_reload_s: float = 0.0):
+                live_reload_s: float = 0.0,
+                image_panels: Optional[Dict[str, str]] = None):
     """Write a standalone interactive viewer to ``path``.
 
     map_objects: {instance: vec10}; trajectory: [F,7] or [F,3] poses;
@@ -91,10 +92,16 @@ def export_html(path: str,
     during a run (``run_tum.py --viz-live``) behaves like the reference's
     Viewer-thread window (src/core/Viewer.cpp:48-175) without a display
     server.
+
+    ``image_panels``: {name: base64 JPEG} — rendered as image panels
+    beside the 3D view (the reference Viewer's RGB + colorized-depth
+    image panels, src/core/Viewer.cpp:146-166).
     """
     data = {"title": title, "objects": [], "clouds": [], "frusta": [],
             "traj": [], "plane": None, "history": {},
-            "reload_s": float(live_reload_s)}
+            "reload_s": float(live_reload_s),
+            "panels": [{"name": k, "b64": v}
+                       for k, v in (image_panels or {}).items()]}
 
     for inst, v in sorted(map_objects.items()):
         v = np.asarray(v, np.float64)
@@ -180,12 +187,24 @@ _HTML_TEMPLATE = r"""<!DOCTYPE html>
  label{display:block;margin:3px 0;cursor:pointer}
  .obj{color:#9fd08f} .sld{width:160px}
  #info{position:absolute;bottom:8px;left:10px;color:#6d7486;font-size:11px}
+ #frames{position:absolute;top:10px;right:10px;display:flex;
+   flex-direction:column;gap:2px;max-width:324px}
+ #frames img{width:320px;border:1px solid #333;border-radius:4px}
+ #frames div{font-size:11px;color:#6d7486}
 </style></head><body>
 <canvas id="gl"></canvas>
 <div id="panel"><h3 id="ttl"></h3><div id="toggles"></div><div id="hist"></div></div>
+<div id="frames"></div>
 <div id="info">drag: orbit &nbsp; shift-drag: pan &nbsp; wheel: zoom</div>
 <script>
 const DATA = /*__DATA__*/null;
+if(DATA.panels&&DATA.panels.length){
+ const fd=document.getElementById('frames');
+ for(const p of DATA.panels){
+  const t=document.createElement('div');t.textContent=p.name;
+  const im=document.createElement('img');
+  im.src='data:image/jpeg;base64,'+p.b64;
+  fd.appendChild(t);fd.appendChild(im);}}
 const cv = document.getElementById('gl');
 const gl = cv.getContext('webgl');
 function resize(){cv.width=innerWidth;cv.height=innerHeight;gl.viewport(0,0,cv.width,cv.height);}
@@ -319,7 +338,7 @@ draw();
 
 
 def export_state_html(path: str, state, title="object-oriented-slam map",
-                      live_reload_s: float = 0.0):
+                      live_reload_s: float = 0.0, image_panels=None):
     """Convenience: export a SlamState snapshot (system/state.py)."""
     objs = {i: state.objects[i].vec10
             for i in state.initialized_instances()}
@@ -331,22 +350,62 @@ def export_state_html(path: str, state, title="object-oriented-slam map",
                        ground_plane=state.ground_plane,
                        cloud_lists=state.cloud_lists,
                        object_history=hist, title=title,
-                       live_reload_s=live_reload_s)
+                       live_reload_s=live_reload_s,
+                       image_panels=image_panels)
+
+
+def _encode_jpeg_b64(img: np.ndarray, quality: int = 80) -> Optional[str]:
+    """BGR uint8 image -> base64 JPEG (None when cv2 is unavailable)."""
+    import base64
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        return None
+    ok, buf = cv2.imencode(".jpg", img,
+                           [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+    if not ok:
+        return None
+    return base64.b64encode(buf.tobytes()).decode("ascii")
+
+
+def frame_panels(rgb=None, depth=None, det_mat=None, map_objects=None,
+                 pose_wc=None, K=None, depth_scale: float = 5000.0):
+    """Render the reference Viewer's image panels (Viewer.cpp:146-166):
+    the current RGB frame with detection bboxes + projected map-ellipse
+    outlines (FrameDrawer.cpp:63-115) and the false-color depth
+    (FrameDrawer.cpp:36-61), as {name: base64 JPEG} for export_html."""
+    from .export import draw_depth_frame, draw_frame
+
+    panels = {}
+    if rgb is not None:
+        b64 = _encode_jpeg_b64(
+            draw_frame(np.asarray(rgb), det_mat, map_objects, pose_wc, K))
+        if b64:
+            panels["frame"] = b64
+    if depth is not None:
+        b64 = _encode_jpeg_b64(
+            draw_depth_frame(np.asarray(depth), scale=depth_scale))
+        if b64:
+            panels["depth"] = b64
+    return panels
 
 
 def export_live_snapshot(out_dir: str, state, frame_no: int,
                          reload_s: float = 1.0,
-                         filename: str = "live.html") -> str:
+                         filename: str = "live.html",
+                         image_panels=None) -> str:
     """Atomically rewrite ``<out_dir>/live.html`` with the current map.
 
     Safe to call mid-run at any frequency: the page in the browser
     reloads itself every ``reload_s`` seconds and keeps its camera, so
     watching the file is a live map view (Viewer-thread analogue).
+    ``image_panels`` (see ``frame_panels``) adds the current RGB/depth
+    frame panels beside the 3D view.
     """
     import os
     final = os.path.join(out_dir, filename)
     tmp = final + ".tmp"
     export_state_html(tmp, state, title=f"live map — frame {frame_no}",
-                      live_reload_s=reload_s)
+                      live_reload_s=reload_s, image_panels=image_panels)
     os.replace(tmp, final)
     return final

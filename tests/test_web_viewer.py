@@ -79,3 +79,35 @@ def test_export_state_html_passthrough(tmp_path):
     data = _extract_data(open(p).read())
     assert data["reload_s"] == 1.0
     assert "2" in data["history"]
+
+
+def test_frame_panels_embedded(tmp_path):
+    """The live view carries the reference Viewer's RGB + depth image
+    panels (Viewer.cpp:146-166) as embedded base64 JPEGs."""
+    import base64
+
+    from object_oriented_slam_tpu.viz.web_viewer import frame_panels
+
+    rgb = np.full((48, 64, 3), 120, np.uint8)
+    depth = (np.random.RandomState(0).rand(48, 64) * 20000).astype(np.uint16)
+    det = np.array([[0, 5, 5, 30, 30, 56, 1.0, 0]])
+    K = np.array([[60.0, 0, 32], [0, 60, 24], [0, 0, 1]])
+    panels = frame_panels(rgb=rgb, depth=depth, det_mat=det,
+                          map_objects=_objects(),
+                          pose_wc=np.array([0, 0, -3, 0, 0, 0, 1.0]),
+                          K=K, depth_scale=5000.0)
+    assert set(panels) == {"frame", "depth"}
+    for b64 in panels.values():
+        assert base64.b64decode(b64)[:2] == b"\xff\xd8"  # JPEG magic
+
+    st = SlamState()
+    p = export_live_snapshot(str(tmp_path), st, 7, image_panels=panels)
+    html = open(p).read()
+    data = _extract_data(html)
+    assert {e["name"] for e in data["panels"]} == {"frame", "depth"}
+    assert html.count("<script>") == 1
+
+
+def test_panels_absent_by_default(tmp_path):
+    p = export_live_snapshot(str(tmp_path), SlamState(), 1)
+    assert _extract_data(open(p).read())["panels"] == []
