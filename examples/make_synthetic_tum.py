@@ -26,9 +26,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def export_synthetic_tum(out_dir, scene, dataset, odometry_noise=0.0,
-                         seed=2):
+                         seed=2, depth_noise=0.0, bbox_jitter=0.0,
+                         det_dropout=0.0):
     """Write ``dataset`` (io.synthetic.SyntheticDataset) to ``out_dir``.
 
+    Corruption knobs (examples/noise_sweep.py):
+      depth_noise  per-pixel gaussian sigma in METERS on valid depth
+      bbox_jitter  gaussian sigma in PIXELS on every bbox corner
+      det_dropout  probability of dropping each detection row
     Returns the number of frames written.
     """
     import cv2
@@ -38,6 +43,7 @@ def export_synthetic_tum(out_dir, scene, dataset, odometry_noise=0.0,
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
     rng = np.random.default_rng(seed)
+    cam_scale = dataset.scene.camera.scale
     gt_rows, assoc_rows, agt_rows, odo_rows = [], [], [], []
     drift = np.zeros(3)
     n = 0
@@ -45,7 +51,13 @@ def export_synthetic_tum(out_dir, scene, dataset, odometry_noise=0.0,
         ts = 1000.0 + i / 30.0
         stem = f"{ts:.4f}"
         ts6 = f"{ts:.6f}"
-        depth_u16 = np.clip(np.asarray(depth), 0, 65535).astype(np.uint16)
+        depth_arr = np.asarray(depth).astype(np.float64)
+        if depth_noise > 0:
+            valid = depth_arr > 0
+            depth_arr = np.where(
+                valid, depth_arr + rng.normal(
+                    0, depth_noise * cam_scale, depth_arr.shape), 0.0)
+        depth_u16 = np.clip(depth_arr, 0, 65535).astype(np.uint16)
         cv2.imwrite(os.path.join(out_dir, "depth", stem + ".png"),
                     depth_u16)
         if rgb is None:
@@ -69,6 +81,17 @@ def export_synthetic_tum(out_dir, scene, dataset, odometry_noise=0.0,
 
         with open(os.path.join(out_dir, "bbox", stem + ".txt"), "w") as f:
             for row in np.asarray(det, np.float64).reshape(-1, 8):
+                if det_dropout > 0 and rng.random() < det_dropout:
+                    continue
+                if bbox_jitter > 0:
+                    row = row.copy()
+                    row[1:5] += rng.normal(0, bbox_jitter, 4)
+                    row[1:5] = np.clip(
+                        row[1:5], 0,
+                        [dataset.scene.camera.width - 1,
+                         dataset.scene.camera.height - 1,
+                         dataset.scene.camera.width - 1,
+                         dataset.scene.camera.height - 1])
                 f.write(" ".join(f"{v:.4f}" for v in row) + "\n")
         n += 1
 

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Noise-robustness sweep over the full CLI pipeline (VERDICT r3 item 7).
+
+For each corruption axis x level: write a corrupted synthetic-TUM
+dataset to disk (examples/make_synthetic_tum.py knobs), run the FULL
+pipeline through the dataset loader (io/tum.py incl. the native
+decoder) with manual association, and score the recovered map against
+the true quadrics.  Prints one JSON line per sweep point.
+
+Axes: depth noise (m, per valid pixel), bbox jitter (px, per corner),
+detection dropout (probability), odometry noise (m random walk,
+consumed via set_odometry like --odometry).
+
+    python examples/noise_sweep.py [--frames 36] [--objects 6] [--out /tmp/noise_sweep]
+
+The regression-pinned operating point lives in
+tests/test_noise_robustness.py; the reference ships no robustness
+evidence at all (SURVEY.md §4), so these curves exceed it rather than
+replicate it.
+"""
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+YAML = os.environ.get("OSLAM_YAML",
+                      "/root/reference/Example/param/TUM3.yaml")
+
+
+def run_point(out_root, scene, cam, n_frames, depth_noise=0.0,
+              bbox_jitter=0.0, det_dropout=0.0, odometry_noise=0.0,
+              seed=2):
+    """Write + run + score one corruption point; returns metrics."""
+    import numpy as np
+    from make_synthetic_tum import export_synthetic_tum
+    from object_oriented_slam_tpu.frontend import (ExtractorConfig,
+                                                   make_extractor,
+                                                   make_plane_estimator)
+    from object_oriented_slam_tpu.io import TUMDataset
+    from object_oriented_slam_tpu.io.synthetic import SyntheticDataset
+    from object_oriented_slam_tpu.system import System
+    from object_oriented_slam_tpu.system.metrics import object_map_iou
+
+    ds_dir = os.path.join(
+        out_root, f"d{depth_noise}_b{bbox_jitter}_p{det_dropout}"
+        f"_o{odometry_noise}")
+    shutil.rmtree(ds_dir, ignore_errors=True)
+    dataset = SyntheticDataset(scene, n_frames=n_frames, orbit_radius=3.4,
+                               height=1.6)
+    export_synthetic_tum(ds_dir, scene, dataset, seed=seed,
+                         depth_noise=depth_noise, bbox_jitter=bbox_jitter,
+                         det_dropout=det_dropout,
+                         odometry_noise=odometry_noise)
+
+    tum = TUMDataset(ds_dir)
+    if odometry_noise > 0:
+        tum.set_odometry(os.path.join(ds_dir, "odometry.txt"))
+    cfg = ExtractorConfig(cluster_min_size=30, open_symmetry=True)
+    slam = System(YAML, extractor=make_extractor(cam, cfg),
+                  plane_estimator=make_plane_estimator(cam))
+    slam.open_ground_plane_estimation()
+    t0 = time.time()
+    n = 0
+    for i, ts, pose, depth, rgb, det in tum.frames():
+        slam.track_with_objects(ts, pose, det, depth=depth)
+        n += 1
+    slam.tracker.sync()
+
+    gt = {}
+    with open(os.path.join(ds_dir, "objects_gt.txt")) as f:
+        for line in f:
+            v = line.split()
+            gt[int(v[0])] = np.array([float(x) for x in v[1:11]])
+    est = slam.map_objects
+    matched = {k: est[k] for k in est if k in gt}
+    ious = object_map_iou(matched, gt) if matched else {}
+    cerrs = sorted(float(np.linalg.norm(est[k][:3] - gt[k][:3]))
+                   for k in matched)
+    return {
+        "frames": n, "secs": round(time.time() - t0, 1),
+        "objects_gt": len(gt), "objects_est": len(est),
+        "covered": len(matched),
+        "center_p50_m": round(cerrs[len(cerrs) // 2], 4) if cerrs else None,
+        "center_max_m": round(cerrs[-1], 4) if cerrs else None,
+        "iou_mean": (round(float(np.mean(list(ious.values()))), 3)
+                     if ious else None),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=36)
+    ap.add_argument("--objects", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", default=os.path.join(tempfile.gettempdir(),
+                                                  "noise_sweep"))
+    args = ap.parse_args()
+
+    from object_oriented_slam_tpu.core.camera import Camera
+    from object_oriented_slam_tpu.io.synthetic import make_scene
+
+    cam = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0,
+                 width=640, height=480)
+    scene = make_scene(n_objects=args.objects, seed=args.seed, camera=cam,
+                       radius_range=(1.3, 1.9))
+    os.makedirs(args.out, exist_ok=True)
+
+    points = ([("depth_noise_m", {"depth_noise": v})
+               for v in (0.0, 0.005, 0.02, 0.05)]
+              + [("bbox_jitter_px", {"bbox_jitter": v})
+                 for v in (2.0, 5.0, 10.0)]
+              + [("det_dropout", {"det_dropout": v})
+                 for v in (0.2, 0.4)]
+              + [("odometry_noise_m", {"odometry_noise": v})
+                 for v in (0.005, 0.02)]
+              + [("operating_point", {"depth_noise": 0.02,
+                                      "bbox_jitter": 2.0,
+                                      "det_dropout": 0.2})])
+    for axis, kw in points:
+        res = run_point(args.out, scene, cam, args.frames, **kw)
+        level = kw[axis] if axis in kw else kw
+        print(json.dumps({"axis": axis, "level": level, **res}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -324,8 +324,10 @@ def solve_schur_step_banded(D, B, bp, Hoo, bo, U, lam, free_frame,
     instead of solve_schur_step's O(F^2 K) assembly + O(F^2) matvec.
     Same damping, gauge, preconditioner, and iteration semantics.
     """
-    diag_pp = jnp.einsum("fii->fi", D)
-    diag_oo = jnp.einsum("kii->ki", Hoo)
+    # g2o builds the hessian over ACTIVE vertices only, so the tau*max-
+    # diag lambda init never sees fixed frames' diagonals
+    diag_pp = jnp.einsum("fii->fi", D) * free_frame[:, None]
+    diag_oo = jnp.einsum("kii->ki", Hoo) * free_obj[:, None]
     maxdiag = jnp.maximum(jnp.max(jnp.abs(diag_pp)),
                           jnp.max(jnp.abs(diag_oo)))
     lam0 = jnp.where(lam < 0, _TAU * maxdiag, lam)
@@ -379,8 +381,9 @@ def solve_schur_step(Hpp, bp, Hoo, bo, U, lam, free_frame, free_obj,
     """
     F = bp.shape[0]
 
-    diag_pp = jnp.einsum("fifi->fi", Hpp)
-    diag_oo = jnp.einsum("kii->ki", Hoo)
+    # active-vertex diag only for the lambda init (see banded variant)
+    diag_pp = jnp.einsum("fifi->fi", Hpp) * free_frame[:, None]
+    diag_oo = jnp.einsum("kii->ki", Hoo) * free_obj[:, None]
     maxdiag = jnp.maximum(jnp.max(jnp.abs(diag_pp)),
                           jnp.max(jnp.abs(diag_oo)))
     lam0 = jnp.where(lam < 0, _TAU * maxdiag, lam)

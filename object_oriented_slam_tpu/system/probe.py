@@ -17,6 +17,22 @@ device, not the device itself:
 ``choose_architecture`` turns that measured insight into shipped
 behavior: probe the blocking round-trip once at startup and pick the
 architecture; callers keep an explicit override.
+
+Why the choice is startup-only (not revisited mid-run): switching the
+extractor object mid-run is NOT a pure scheduling change like the
+adaptive pipeline depth.  The split/fused protocols hold in-flight
+device state across frames (phase-A handles awaiting midway, the fused
+chain's one-frame lag, LM batches riding extraction programs), so a
+swap requires flushing every queue — a full pipeline stall plus fresh
+compiles of the other architecture's programs (2-60 s each on the
+remote service, §CLAUDE.md), which costs far more than the few ms/frame
+the better architecture saves; and the hour-scale RTT swings that would
+motivate a switch (7-45 ms, BENCH_DETAILS) mostly stay on ONE side of
+the 5 ms decision boundary, so the decision itself is stable even when
+the fetch cost is not.  The adaptive depth controller absorbs
+within-regime swings; when even its deepest window cannot (depth pinned
+at max with still-blocked fetches), ``Tracking`` logs the saturation
+once as the operator's signal to restart with ``--extractor`` pinned.
 """
 from __future__ import annotations
 

@@ -221,6 +221,7 @@ class Tracking:
         self.adapt_deepen_s = 3e-3
         self.adapt_shallow_s = 1e-3
         self._adapt_fetches = deque(maxlen=16)
+        self._saturation_logged = False  # one-shot wrong-architecture hint
         self._flushing = False  # sync() drain: fetches there say nothing
         #                         about steady-state latency, skip adaptation
         # LM fusion: ride the due frame's global-BA LM on the next
@@ -661,6 +662,19 @@ class Tracking:
         w = self._adapt_fetches
         w.append(fetch_s)
         recent = list(w)
+        if (len(recent) >= 3 and min(recent[-3:]) > self.adapt_deepen_s
+                and self._pipeline_depth >= self.adapt_depth_max
+                and not self._saturation_logged):
+            # the deepest window still cannot hide the fetch: the
+            # dispatch architecture is likely wrong for this link (see
+            # system/probe.py on why it is not switched mid-run)
+            self._saturation_logged = True
+            import logging
+            logging.getLogger("object_oriented_slam_tpu").info(
+                "extraction fetches still block at the maximum pipeline "
+                "depth (%d); the probed dispatch architecture may not "
+                "fit this link — consider restarting with --extractor "
+                "pinned", self.adapt_depth_max)
         if (len(recent) >= 3 and min(recent[-3:]) > self.adapt_deepen_s
                 and self._pipeline_depth < self.adapt_depth_max):
             self._pipeline_depth += 1

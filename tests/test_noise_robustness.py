@@ -1,0 +1,42 @@
+"""Noise-robustness regression at the pinned operating point
+(VERDICT r3 item 7; curves: examples/noise_sweep.py).
+
+Operating point: 2 cm depth noise + 2 px bbox jitter + 20 % detection
+dropout, through the full on-disk TUM path (export -> io/tum.py loader
+-> System).  Thresholds protect the gates/association against silent
+regression; the reference ships no robustness evidence at all
+(SURVEY.md §4).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "examples"))
+
+YAML = "/root/reference/Example/param/TUM3.yaml"
+
+
+def test_operating_point_thresholds(tmp_path):
+    from noise_sweep import run_point
+    from object_oriented_slam_tpu.core.camera import Camera
+    from object_oriented_slam_tpu.io.synthetic import make_scene
+
+    cam = Camera(fx=535.4, fy=539.2, cx=320.1, cy=247.6, scale=5000.0,
+                 width=640, height=480)
+    scene = make_scene(n_objects=4, seed=7, camera=cam,
+                       radius_range=(1.3, 1.9))
+    res = run_point(str(tmp_path), scene, cam, n_frames=24,
+                    depth_noise=0.02, bbox_jitter=2.0, det_dropout=0.2)
+    # all objects recovered despite the corruption...
+    assert res["covered"] == res["objects_gt"] == 4, res
+    # ...with bounded error (thresholds ~2x the clean-run numbers so
+    # hour-to-hour f32 jitter cannot flake them, but a broken gate or
+    # association regression blows straight through)
+    assert res["center_p50_m"] is not None and res["center_p50_m"] < 0.12, res
+    assert res["center_max_m"] < 0.40, res
+    assert res["iou_mean"] is not None and res["iou_mean"] > 0.30, res
