@@ -42,6 +42,7 @@ def make_workload():
     return gt, obs
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_sharded_matches_single(ndev):
     devices = jax.devices()[:ndev]

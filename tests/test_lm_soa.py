@@ -6,6 +6,7 @@ bit-exact (same tolerance class as the observation-capacity tiers).
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from object_oriented_slam_tpu.backend import (LMConfig, optimize_objects,
                                               optimize_objects_soa)
@@ -90,15 +91,18 @@ def test_soa_matches_aos_mixed():
     _compare(_mixed_obs(), LMConfig(gravity_on=False))
 
 
+@pytest.mark.slow  # the 'mixed' variant stays in the quick tier
 def test_soa_matches_aos_gravity():
     _compare(_mixed_obs(), LMConfig(gravity_on=True, gravity_scale=100.0),
              normal=np.array([0, 0, 1], np.float32), gset=True)
 
 
+@pytest.mark.slow  # the 'mixed' variant stays in the quick tier
 def test_soa_matches_aos_nan_gate():
     _compare(_mixed_obs(with_nan=True), LMConfig(gravity_on=False))
 
 
+@pytest.mark.slow  # the 'mixed' variant stays in the quick tier
 def test_soa_matches_aos_huber():
     _compare(_mixed_obs(), LMConfig(gravity_on=False, huber_delta=5.0))
 

@@ -1,6 +1,7 @@
 """SLAM-mode BA tests: joint pose + object recovery on synthetic graphs."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from object_oriented_slam_tpu.backend.lm import LMConfig
 from object_oriented_slam_tpu.backend import slam_ba
@@ -80,6 +81,8 @@ def build_graph(F=12, K=2, pose_noise=0.05):
     return g, gt_cw, gt_objects
 
 
+@pytest.mark.slow  # ~2 min XLA:CPU compile; quick-tier SLAM coverage
+# lives in tests/test_slam_quick.py
 def test_slam_ba_recovers_poses_and_objects():
     g, gt_cw, gt_obj = build_graph()
     poses, objects, chi2 = slam_ba.optimize_slam(
@@ -93,6 +96,7 @@ def test_slam_ba_recovers_poses_and_objects():
     assert float(chi2) < 1e-1
 
 
+@pytest.mark.slow
 def test_slam_ba_frame0_fixed():
     g, gt_cw, _ = build_graph()
     poses, _, _ = slam_ba.optimize_slam(

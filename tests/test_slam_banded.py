@@ -10,6 +10,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the banded-vs-dense / sharded-vs-replicated equivalences compile the
+# largest CPU programs of the suite (~12 min of the old 'quick' tier's
+# 34, VERDICT r3 item 4); the quick tier keeps SLAM coverage via
+# tests/test_slam_quick.py
+pytestmark = pytest.mark.slow
+
 from object_oriented_slam_tpu.backend import slam_ba
 from object_oriented_slam_tpu.backend.lm import LMConfig
 from object_oriented_slam_tpu.parallel.dist_slam import (
