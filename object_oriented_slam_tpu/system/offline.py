@@ -11,11 +11,10 @@ plane) — so this driver processes a recorded sequence by:
      (state machine semantics identical to online, Tracking.cpp:716-799),
   2. flattening every subsequent B frames' detections into batched
      device programs (``frontend/batch_extractor.py``),
-  3. pipelining batches so device compute, bulk host copies, and the
-     host clustering stage all overlap (split protocol: device phase A
-     -> host native union-find -> device phase B; the monolithic
-     single-program path stays available where the native library or a
-     device mesh is in play), and
+  3. pipelining batches so device compute and bulk transfers overlap
+     (default: ONE monolithic program per batch; the split protocol —
+     device phase A -> host native union-find -> device phase B —
+     is opt-in for low-latency links, see __init__), and
   4. feeding results into the UNCHANGED sequential SLAM core
      (association -> init -> per-frame global BA) in frame order.
 
@@ -42,13 +41,14 @@ class OfflineMapper:
     ``ext_cfg``/``cam`` are the same objects the online extractor was
     built with (the batched programs share its tier semantics).
 
-    ``split``: device-A / host-cluster / device-B protocol (default when
-    the native cluster library is available).  The monolithic program
-    clusters on device, where a multi-frame batch pays max-over-batch
-    convergence rounds (measured 2.4x at B=8); host union-find is exact
-    and overlaps the next batch's device work.  ``mesh`` (data
-    parallelism over the detection axis) currently implies the
-    monolithic program.
+    ``split``: opt-in device-A / host-cluster / device-B protocol
+    (requires the native cluster library).  It moves clustering off the
+    device entirely but fetches a ~2 MB phase-A buffer per batch — a
+    win on low-latency links, a loss on the tunneled device (~25 MB/s
+    D2H), hence the monolithic default whose per-frame-group lax.map
+    clustering already avoids the max-over-batch convergence-round
+    inflation.  ``mesh`` (data parallelism over the detection axis)
+    currently implies the monolithic program.
     """
 
     def __init__(self, system, cam, ext_cfg, batch_size: int = 8,
@@ -101,6 +101,13 @@ class OfflineMapper:
             tracker.adaptive_depth
         tracker.pipeline_depth = max(prev_depth, 4 * self.batch_size)
         tracker.adaptive_depth = False
+        try:
+            return self._run(tracker, frames, progress)
+        finally:
+            tracker.pipeline_depth = prev_depth
+            tracker.adaptive_depth = prev_adapt
+
+    def _run(self, tracker, frames, progress):
         t0 = time.perf_counter()
         n = 0
         bucket = []        # frames accumulating toward one batch
@@ -195,8 +202,6 @@ class OfflineMapper:
         drain()
         tracker.sync()
         dt = time.perf_counter() - t0
-        tracker.pipeline_depth = prev_depth
-        tracker.adaptive_depth = prev_adapt
         return {"frames": n, "seconds": dt,
                 "fps": (n / dt if dt > 0 else 0.0),
                 "batches": self.batches_dispatched}
