@@ -40,7 +40,12 @@ import math
 import jax
 import jax.numpy as jnp
 
-_BLOCK = 512
+_BLOCK = 2048  # pass-block rows.  512 -> 2048 measured 13 % faster on
+#                the v5e at the 16384-lane worst case (51.3 vs 59.0 ms,
+#                labels bit-identical; 4096 is equal to 2048) — fewer
+#                scan steps amortize the per-step op latency.  Blocks
+#                clamp to the cloud size, so small test clouds and the
+#                CPU mesh see one block either way.
 
 
 def _min_label_pass(pts, mask, labels, tol2):
