@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--grid", action="store_true",
                     help="also time the (TPU-pathological) grid-cluster "
                          "variants")
+    ap.add_argument("--chains", default="3",
+                    help="comma list of cluster_chains values to A/B "
+                         "(e.g. '-1,1,3'; -1 = pre-round-5 single-seed)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -70,15 +73,20 @@ def main():
 
     depth_j = jnp.asarray(depth)
     flat_j = jnp.asarray(flat)
-    tier = _cloud_tier(bboxes[:n], [True] * n, cam.height, cam.width, 8192)
+    tier = _cloud_tier(bboxes[:n], [True] * n, cam.height, cam.width, 16384)
     print(f"cloud tier: {tier}")
 
-    variants = [
-        ("dense+sym", ExtractorConfig(cloud_capacity=tier, grid_cluster=False,
-                                      open_symmetry=True), False, True),
-        ("dense", ExtractorConfig(cloud_capacity=tier, grid_cluster=False),
-         False, False),
-    ]
+    variants = []
+    for ch in [int(c) for c in args.chains.split(",")]:
+        variants += [
+            (f"dense+sym ch{ch}",
+             ExtractorConfig(cloud_capacity=tier, grid_cluster=False,
+                             open_symmetry=True, cluster_chains=ch),
+             False, True),
+            (f"dense ch{ch}",
+             ExtractorConfig(cloud_capacity=tier, grid_cluster=False,
+                             cluster_chains=ch), False, False),
+        ]
     if args.grid:
         # grid-hash clustering: exact + asymptotically better but the
         # remote TPU toolchain compiles its gathers pathologically

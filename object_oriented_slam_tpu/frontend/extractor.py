@@ -69,6 +69,18 @@ class ExtractorConfig:
                               # frame-45 analysis).  A truncated run now
                               # also FAILS the validity gate instead of
                               # passing silently (_cluster_select_batch)
+    cluster_chains: int = -1  # -1 (default) = one chain-seed order, no
+                              # interleave.  K>0 seeds K spatial orders
+                              # AND interleaves chain passes between
+                              # dense min-label rounds — cuts dense
+                              # rounds 7-15 -> 4-7 in simulation, but
+                              # MEASURED NET-NEGATIVE on the v5e (+1-2
+                              # ms/frame at both 8192/16384 tiers: a
+                              # chain pass's 2 gathers + 2 log-depth
+                              # segmented scans cost about one dense
+                              # pass on this latency-dominated device).
+                              # Kept selectable for low-op-latency
+                              # devices; see BENCH_DETAILS round 5.
     grid_cluster: bool = False  # O(N*C) grid-hash clustering — exact and
                                 # asymptotically better, but the remote
                                 # TPU toolchain pathologizes its gathers
@@ -201,12 +213,13 @@ def _cluster_select_batch(pts_v, pts_w, cells_v, m2, center_w,
                 with_converged=True))(pts_v, cells_v, m2)
     else:
         N = pts_w.shape[1]
+        ch = cfg.cluster_chains
         vm_full = jax.vmap(lambda p, m: cl.connected_components(
-            p, m, tol, outer_iters=it, with_converged=True))
+            p, m, tol, outer_iters=it, with_converged=True, chains=ch))
         if N >= 4096:
             cap = N // 2
             vm_comp = jax.vmap(lambda p, m: cl.components_compacted(
-                p, m, tol, it, 12, cap, with_converged=True))
+                p, m, tol, it, 12, cap, with_converged=True, chains=ch))
             fits = jnp.max(jnp.sum(m2, axis=1)) <= cap
             labels, conv = jax.lax.cond(
                 fits, lambda _: vm_comp(pts_w, m2),

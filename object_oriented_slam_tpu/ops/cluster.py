@@ -96,62 +96,100 @@ def _min_label_pass_mm(pts, nrm, mask, labels, tol2):
     return jnp.where(mask, jnp.minimum(labels, new_labels), labels)
 
 
-def _chain_seed_one(pts, mask, labels0, tol2, key):
-    """One seeding pass along the sort order of ``key`` (see _chain_seed)."""
-    key = jnp.where(mask, key, jnp.int32(2 ** 30))
-    order = jnp.argsort(key)
-    pts_s = pts[order]
-    lab_s = labels0[order]
-    mask_s = mask[order]
-
-    d2prev = jnp.sum((pts_s[1:] - pts_s[:-1]) ** 2, axis=-1)
-    linked = jnp.concatenate([jnp.array([False]),
-                              (d2prev <= tol2) & mask_s[1:] & mask_s[:-1]])
-
-    # segmented running min over linked runs: (value, is_start) pairs
-    def combine(a, b):
-        av, astart = a
-        bv, bstart = b
-        v = jnp.where(bstart, bv, jnp.minimum(av, bv))
-        return v, astart | bstart
-
-    seeded_s, _ = jax.lax.associative_scan(
-        combine, (lab_s, ~linked), axis=0)
-    inv = jnp.argsort(order)
-    return jnp.where(mask, seeded_s[inv], labels0)
+_CHAIN_PERMS = ((0, 1, 2), (1, 2, 0), (2, 0, 1))
 
 
-def _chain_seed(pts, mask, labels0, tol2):
-    """Cheap label seeding along one spatial sort order.
+def _chain_structs(pts, mask, tol2, n_orders):
+    """Precompute ``n_orders`` spatial chain structures (order, inv,
+    linked) reused by every chain pass.
 
-    Sorts points by a Morton-ish voxel key, links consecutive points that
-    are genuinely within ``tol`` (a SUBSET of the true radius graph, so
-    the final converged components are unchanged), and propagates the
-    running minimum along each linked run with one associative scan —
-    O(N log N), no [B, N] distance pass.  Dense clouds then start the
-    exact min-label rounds mostly pre-merged, cutting global rounds.
+    Each order sorts by a Morton-ish voxel key with a different axis
+    permutation (different orders break a component's zigzag chains at
+    different places, so their union propagates much further).  Points
+    never move during clustering, so the O(N log N) argsorts happen ONCE
+    per call; a chain pass is then one gather + two segmented scans +
+    one gather — ~10x cheaper than a dense [B, N] distance pass.
     """
     tol = jnp.sqrt(tol2)
     cell = jnp.floor(pts / tol).astype(jnp.int32)
     c = jnp.clip(cell + 512, 0, 1023)
-    key = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
-    return _chain_seed_one(pts, mask, labels0, tol2, key)
+    structs = []
+    for k in range(n_orders):
+        p = _CHAIN_PERMS[k % len(_CHAIN_PERMS)]
+        key = (c[:, p[0]] << 20) | (c[:, p[1]] << 10) | c[:, p[2]]
+        key = jnp.where(mask, key, jnp.int32(2 ** 30))
+        order = jnp.argsort(key)
+        pts_s = pts[order]
+        mask_s = mask[order]
+        d2prev = jnp.sum((pts_s[1:] - pts_s[:-1]) ** 2, axis=-1)
+        linked = jnp.concatenate(
+            [jnp.array([False]),
+             (d2prev <= tol2) & mask_s[1:] & mask_s[:-1]])
+        structs.append((order, jnp.argsort(order), linked))
+    return tuple(structs)
 
 
-def _propagate(pass_fn, labels0, N, outer_iters, jump_iters):
+def _seg_min_combine(a, b):
+    """Segmented-min combine over (value, is_boundary) pairs."""
+    av, astart = a
+    bv, bstart = b
+    v = jnp.where(bstart, bv, jnp.minimum(av, bv))
+    return v, astart | bstart
+
+
+def _chain_apply(labels, struct):
+    """One bidirectional min-label pass along a precomputed chain order.
+
+    The links are a SUBSET of the true radius graph (consecutive-in-sort
+    points that genuinely pass the f32 radius test), so chain passes
+    never merge across true components — they only accelerate
+    propagation inside them.  Labels are monotone non-increasing.
+    """
+    order, inv, linked = struct
+    lab_s = labels[order]
+    start = ~linked
+    fwd, _ = jax.lax.associative_scan(_seg_min_combine, (lab_s, start),
+                                      axis=0)
+    is_end = jnp.concatenate([linked[1:], jnp.array([False])])
+    bwd, _ = jax.lax.associative_scan(_seg_min_combine, (lab_s, ~is_end),
+                                      axis=0, reverse=True)
+    return jnp.minimum(fwd, bwd)[inv]
+
+
+def _chain_seed(pts, mask, labels0, tol2, structs=None):
+    """Cheap label seeding along spatial sort orders (see _chain_structs).
+
+    Dense clouds start the exact min-label rounds mostly pre-merged,
+    cutting global rounds; no [B, N] distance pass involved.
+    """
+    if structs is None:
+        structs = _chain_structs(pts, mask, tol2, 1)
+    for s in structs:
+        labels0 = _chain_apply(labels0, s)
+    # masked lanes are singleton runs (sentinel keys, never linked), so
+    # their label N is already preserved; the where is belt-and-braces
+    return jnp.where(mask, labels0, jnp.full_like(labels0, labels0.shape[0]))
+
+
+def _propagate(pass_fn, labels0, N, outer_iters, jump_iters,
+               chain_structs=()):
     """Min-label rounds + pointer jumping inside a converging while_loop.
 
     ``pass_fn(labels) -> labels`` performs one neighbor min-label pass;
     typical object clouds settle in a few rounds, while ``outer_iters``
-    bounds pathological chain topologies.  Returns
+    bounds pathological chain topologies.  ``chain_structs`` (from
+    _chain_structs) interleaves cheap bidirectional chain passes after
+    every dense pass — simulated on cabinet clouds to cut dense rounds
+    from 7-15 to 4-7 (the propagation tail is fragment-chain diffusion,
+    which spatial-run scans collapse in O(N log N)); on the tunneled
+    v5e the per-pass scan cost cancels the saving, so the production
+    config keeps it off (BENCH_DETAILS round 5).  Returns
     ``(labels, converged)``: converged is False when the bound truncated
     a still-changing propagation — callers MUST surface that (a
     truncated run silently yields fragment components; the round-3
     oracle sweep caught exactly this as 0.1-0.2 m center bias).
     """
-    def round_fn(labels):
-        labels = pass_fn(labels)
-
+    def jumps(labels):
         def jump(lab, _):
             safe = jnp.clip(lab, 0, N - 1)
             nxt = jnp.where(lab < N, lab[safe], lab)
@@ -159,6 +197,14 @@ def _propagate(pass_fn, labels0, N, outer_iters, jump_iters):
 
         labels, _ = jax.lax.scan(jump, labels, None, length=jump_iters)
         return labels
+
+    def round_fn(labels):
+        labels = pass_fn(labels)
+        # chain passes ride BEFORE the (single) pointer-jump block so the
+        # interleave adds no second jump scan per round
+        for s in chain_structs:
+            labels = _chain_apply(labels, s)
+        return jumps(labels)
 
     def cond(state):
         _, prev_changed, it = state
@@ -177,18 +223,28 @@ def _propagate(pass_fn, labels0, N, outer_iters, jump_iters):
 
 def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
                          outer_iters: int = 8, jump_iters: int = 12,
-                         exact: bool = False, with_converged: bool = False):
+                         exact: bool = False, with_converged: bool = False,
+                         chains: int = -1):
     """Labels [N]: each point's component id = min point index in component.
 
     Masked-out points get label N (out of range).  With
     ``with_converged=True`` additionally returns the convergence flag
-    (see _propagate).
+    (see _propagate).  ``chains``: |chains| = number of precomputed
+    spatial chain orders used for label seeding; chains > 0 ALSO
+    interleaves chain passes between dense rounds (0 disables both).
+    Default -1 = single-order seeding only: interleaving cuts dense
+    rounds ~2x in simulation but measured net-negative on the tunneled
+    v5e, where a chain pass costs about one dense pass (BENCH_DETAILS
+    round 5); positive values are for low-op-latency devices.
     """
     N = pts.shape[0]
     tol2 = jnp.float32(tol * tol)
     idx = jnp.arange(N, dtype=jnp.int32)
     labels0 = jnp.where(mask, idx, jnp.int32(N))
-    labels0 = _chain_seed(pts, mask, labels0, tol2)
+    structs = _chain_structs(pts, mask, tol2, abs(chains)) if chains else ()
+    if structs:
+        labels0 = _chain_seed(pts, mask, labels0, tol2, structs)
+    interleave = structs if chains > 0 else ()
 
     if not exact:
         # center once (labels are translation-invariant; see module docstring)
@@ -202,7 +258,8 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
             return _min_label_pass(pts, mask, labels, tol2)
         return _min_label_pass_mm(pts_c, nrm, mask, labels, tol2)
 
-    labels, conv = _propagate(pass_fn, labels0, N, outer_iters, jump_iters)
+    labels, conv = _propagate(pass_fn, labels0, N, outer_iters, jump_iters,
+                              interleave)
     return (labels, conv) if with_converged else labels
 
 
@@ -296,7 +353,8 @@ def connected_components_grid(pts: jnp.ndarray, cells: jnp.ndarray,
 
 def components_compacted(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
                          outer_iters: int, jump_iters: int,
-                         compact_cap: int, with_converged: bool = False):
+                         compact_cap: int, with_converged: bool = False,
+                         chains: int = -1):
     """Components with the unmasked points compacted into the front
     ``compact_cap`` lanes — PRECONDITION: sum(mask) <= compact_cap (the
     caller must guarantee it, e.g. with an outer lax.cond; overflowed
@@ -316,7 +374,7 @@ def components_compacted(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
     sub = order[:compact_cap].astype(jnp.int32)
     lab_c, conv = connected_components(pts[sub], mask[sub], tol,
                                        outer_iters, jump_iters,
-                                       with_converged=True)
+                                       with_converged=True, chains=chains)
     orig = jnp.where(lab_c < compact_cap,
                      sub[jnp.clip(lab_c, 0, compact_cap - 1)],
                      jnp.int32(N))

@@ -255,3 +255,32 @@ def test_connected_components_compact_identical():
             jnp.asarray(pts), jnp.asarray(mask), 0.05, outer_iters=48,
             compact_cap=N // 2))
         assert np.array_equal(a, b), frac
+
+
+def test_connected_components_chain_variants_identical():
+    """All ``chains`` settings (0 = none, -1 = pre-round-5 single seed,
+    1/3 = seeded + interleaved chain passes) are pure accelerators of
+    the same min-label fixpoint: labels must be bit-identical once
+    converged (ops/cluster._chain_apply links are subsets of the true
+    radius graph)."""
+    from object_oriented_slam_tpu.ops import cluster as cl
+    rng = np.random.default_rng(11)
+    N = 1024
+    # zigzag chains (the diffusion worst case) + blobs + noise + masked
+    t = np.linspace(0, 6, N // 4)
+    chain = np.stack([t, 0.4 * np.sin(7 * t), 0.2 * np.cos(11 * t)], 1)
+    pts = np.concatenate([
+        chain, rng.normal(0, 0.05, (N // 4, 3)) + 4,
+        rng.normal(0, 0.04, (N // 4, 3)) - 3,
+        rng.uniform(-5, 5, (N // 4, 3))]).astype(np.float32)
+    mask = rng.random(N) > 0.15
+    ref = None
+    for chains in (0, -1, 1, 3):
+        lab, conv = cl.connected_components(
+            jnp.asarray(pts), jnp.asarray(mask), 0.12, outer_iters=96,
+            with_converged=True, chains=chains)
+        assert bool(conv), chains
+        lab = np.asarray(lab)
+        if ref is None:
+            ref = lab
+        assert np.array_equal(lab, ref), chains
