@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..core.camera import Camera
 from ..ops import backproject as bp
+from ..ops import linalg
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,7 +111,7 @@ def estimate_ground_plane(depth, cam: Camera, cfg: GroundPlaneConfig):
     c = jnp.sum(pts_f * wgt[:, None], axis=0) / n_in
     d = (pts_f - c) * wgt[:, None]
     cov = d.T @ d / n_in
-    _, vecs = jnp.linalg.eigh(cov)
+    _, vecs = linalg.eigh3(cov)  # closed form: lax eigh serializes on TPU
     nrm_fit = vecs[:, 0]
     # keep orientation near the winning hypothesis
     nrm_fit = jnp.where(jnp.dot(nrm_fit, seed_nrm[best]) < 0,

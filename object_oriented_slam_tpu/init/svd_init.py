@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import se3
+from ..ops import linalg
 
 _EPS = 1e-12
 
@@ -135,7 +136,8 @@ def ellipsoid_from_qstar(Qstar: jnp.ndarray):
     Q33 = Q[:3, :3]
 
     # exact reduction: eigenvalues/vectors of Q33
-    w33, V33 = jnp.linalg.eigh(Q33)  # ascending, positive for an ellipsoid
+    # closed form (ops/linalg.eigh3): lax's eigh serializes on TPU
+    w33, V33 = linalg.eigh3(Q33)  # ascending, positive for an ellipsoid
     k = jnp.linalg.det(Q) / jnp.linalg.det(Q33)  # negative for an ellipsoid
     s = jnp.sqrt(jnp.abs(-k / w33))
 

@@ -11,6 +11,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from . import linalg
+
 _EPS = 1e-9
 
 
@@ -27,7 +29,10 @@ def masked_pca(pts: jnp.ndarray, mask: jnp.ndarray) -> PCAResult:
     c = jnp.sum(pts * w[:, None], axis=0) / n
     d = (pts - c) * w[:, None]
     cov = (d.T @ d) / n  # "normalized" covariance like PCL
-    vals, vecs = jnp.linalg.eigh(cov)
+    # closed-form eigensolver: jnp.linalg.eigh's iterative factorization
+    # runs as a serial scalar loop on TPU and sat on the per-frame
+    # extraction critical path (one 3x3 eigh per detection per frame)
+    vals, vecs = linalg.eigh3(cov)
     return PCAResult(center=c, rot=vecs, eigvals=vals)
 
 

@@ -284,3 +284,45 @@ def test_connected_components_chain_variants_identical():
         if ref is None:
             ref = lab
         assert np.array_equal(lab, ref), chains
+
+
+def test_eigh3_closed_form():
+    """ops/linalg.eigh3 must match f64 numpy eigh at f32 roundoff on
+    random, covariance-shaped, repeated-eigenvalue, rank-1, isotropic
+    and zero matrices (it replaces jnp.linalg.eigh in the per-frame
+    PCA and the ground-plane fit, where lax's factorization serializes
+    on TPU)."""
+    from object_oriented_slam_tpu.ops.linalg import eigh3
+    rng = np.random.default_rng(7)
+    M = rng.normal(0, 1, (500, 3, 3))
+    cases = [("random", (M + M.transpose(0, 2, 1)) / 2)]
+    pts = rng.normal(0, 1e-3, (200, 40, 3))
+    c = pts - pts.mean(1, keepdims=True)
+    cases.append(("cov-small", np.einsum("bni,bnj->bij", c, c) / 40))
+    Q, _ = np.linalg.qr(rng.normal(0, 1, (200, 3, 3)))
+    for name, d in (("rep-low", [1.0, 1.0, 3.0]), ("rep-high",
+                                                   [0.5, 3.0, 3.0])):
+        D = np.broadcast_to(np.asarray(d), (200, 3))
+        cases.append((name, np.einsum("bij,bj,bkj->bik", Q, D, Q)))
+    v = rng.normal(0, 1, (200, 3))
+    cases.append(("rank1", np.einsum("bi,bj->bij", v, v)))
+    cases.append(("iso", np.concatenate([np.eye(3)[None] * 7,
+                                         np.zeros((1, 3, 3)),
+                                         np.eye(3)[None] * 1e-8])))
+    for name, A in cases:
+        import jax
+        vals, vecs = jax.jit(eigh3)(jnp.asarray(A.astype(np.float32)))
+        vals = np.asarray(vals, np.float64)
+        vecs = np.asarray(vecs, np.float64)
+        wv, _ = np.linalg.eigh(A)
+        nA = np.maximum(np.abs(wv).max(-1), 1e-9)
+        assert (np.abs(vals - wv).max(-1) / nA).max() < 5e-6, name
+        ortho = np.einsum("...ij,...ik->...jk", vecs, vecs) - np.eye(3)
+        assert np.abs(ortho).max() < 1e-5, name
+        res = np.einsum("...ij,...jk->...ik", A, vecs) \
+            - vals[..., None, :] * vecs
+        assert (np.abs(res).max((-1, -2)) / nA).max() < 5e-6, name
+        assert (np.diff(vals, axis=-1) >= -1e-5 * nA[..., None]).all(), name
+        # right-handed basis (v1 = v2 x v0 by construction)
+        det = np.linalg.det(vecs)
+        assert np.all(det > 0.99), name
