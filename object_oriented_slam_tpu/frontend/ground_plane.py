@@ -57,13 +57,15 @@ def estimate_ground_plane(depth, cam: Camera, cfg: GroundPlaneConfig):
     dx = jnp.roll(pts, -1, axis=1) - jnp.roll(pts, 1, axis=1)
     dy = jnp.roll(pts, -1, axis=0) - jnp.roll(pts, 1, axis=0)
     raw_n = jnp.cross(dx, dy)
-    # 5-tap separable box smoothing
-    w = jnp.ones(5, jnp.float32) / 5.0
-    sm = raw_n
-    sm = jax.vmap(jax.vmap(lambda c: jnp.convolve(c, w, mode="same"),
-                           in_axes=-1, out_axes=-1), in_axes=1, out_axes=1)(sm)
-    sm = jax.vmap(jax.vmap(lambda c: jnp.convolve(c, w, mode="same"),
-                           in_axes=-1, out_axes=-1), in_axes=0, out_axes=0)(sm)
+    # 5-tap separable box smoothing via shifted adds (a vmapped
+    # jnp.convolve per row/column compiled to hundreds of small HLOs and
+    # dominated this one-shot program on the latency-bound tunnel; rolls
+    # are identical on the interior region, which is all that is used —
+    # the 2-pixel border where wrap-around differs is masked out below)
+    def box5(x, axis):
+        return sum(jnp.roll(x, s, axis) for s in (-2, -1, 0, 1, 2)) / 5.0
+
+    sm = box5(box5(raw_n, 0), 1)
     nrm = jnp.linalg.norm(sm, axis=-1, keepdims=True)
     normals = sm / jnp.maximum(nrm, 1e-9)
     n_ok = (nrm[..., 0] > 1e-12) & mask
