@@ -10,7 +10,12 @@ per-frame global object-graph BA — i.e. the reference's whole
 (/root/reference/src/core/Tracking.cpp:170-204), timed as a second
 (warm) pass over the sequence on the attached device.
 
-Baseline (``vs_baseline``): the float64 oracle chain on this machine's
+Baseline (``vs_baseline``): **the f64 single-thread numpy replica of
+the reference pipeline, NOT the reference's C++ binary** (which cannot
+be built in this image — no Eigen/PCL; a C++ build would be roughly an
+order of magnitude faster than numpy, so never quote these multipliers
+as vs-C++ numbers; the JSON carries a ``baseline_kind`` field saying
+the same).  Concretely: the float64 oracle chain on this machine's
 CPU — the numpy frontend replica of EstimateLocalEllipsoid + symmetry
 (tests/oracle_frontend.py, written from the C++ sources) timed on
 sample frames, plus a full-edge-set f64 backend replica (2D projection
@@ -36,6 +41,11 @@ import numpy as np
 
 CABINET = "/root/reference/Example/dataset/cabinet/"
 YAML = "/root/reference/Example/param/TUM3.yaml"
+
+# e2e p90 operating point (ms) pinned from the round-4 driver bench
+# (40.2 ms); tests/test_bench_guard.py flags any recorded bench whose
+# p90 exceeds 2x this pin.
+E2E_P90_PIN_MS = 40.0
 
 # --------------------------------------------------------------------------
 # f64 numpy geometry (g2o-equivalent; quat [x,y,z,w], tangent [omega,ups])
@@ -325,17 +335,62 @@ def make_system():
 
 
 def run_pipeline(frames):
-    """One pass of the full pipeline; returns (slam, per-frame seconds)."""
+    """One pass of the full pipeline.
+
+    Returns (slam, per-frame seconds, drain seconds, per-call stage
+    breakdown).  The breakdown attributes each wall-clock grab call's
+    time to the stages actually paid INSIDE that call (deferred
+    processing bills to the call that ran it, not the frame it belongs
+    to) — the data the tail-cause attribution needs (VERDICT r4 #2).
+    """
     slam, _, _ = make_system()
-    per_frame = []
+    m = slam.tracker.metrics
+    stage_keys = ("dispatch", "fetch", "host", "backend")
+    per_frame, per_call = [], []
     for i, ts, pose, depth, rgb, det in frames:
+        pre = {k: len(m[k]) for k in stage_keys}
         t0 = time.perf_counter()
         slam.track_with_objects(ts, pose, det, depth=depth, rgb=None)
         per_frame.append(time.perf_counter() - t0)
+        per_call.append({k: sum(m[k][pre[k]:]) for k in stage_keys})
     t0 = time.perf_counter()
     slam.tracker.sync()
     drain = time.perf_counter() - t0
-    return slam, per_frame, drain
+    return slam, per_frame, drain, per_call
+
+
+def attribute_tail(pf_ms, per_call):
+    """Name the dominant cause of the worst frame (e2e_max_cause).
+
+    The tracker's "host" stage spans the whole deferred processing
+    (fetch and backend included), so the exclusive components compared
+    are dispatch / fetch / backend / host-minus-both.
+    """
+    fid = int(np.argmax(pf_ms))
+    comp = dict(per_call[fid])
+    total_known = (comp["dispatch"] + comp["host"]) * 1e3
+    comp["host"] = max(comp["host"] - comp["fetch"] - comp["backend"], 0.0)
+    dom = max(comp, key=comp.get)
+    dom_ms = comp[dom] * 1e3
+    if dom == "fetch":
+        cause = "blocked-fetch"
+    elif dom == "backend":
+        cause = "backend-dispatch-stall"
+    elif dom == "dispatch":
+        cause = "ground-plane-oneshot" if fid == 0 else "dispatch-stall"
+    else:
+        cause = "host-processing"
+    if dom_ms > 1000.0:
+        cause += "(likely-compile)"
+    unattr = float(pf_ms[fid]) - total_known
+    if unattr > max(dom_ms, 0.3 * float(pf_ms[fid])):
+        cause = "untracked-host-stage"
+    return {"e2e_max_frame": fid,
+            "e2e_max_cause": cause,
+            "e2e_max_dispatch_ms": round(comp["dispatch"] * 1e3, 2),
+            "e2e_max_fetch_ms": round(comp["fetch"] * 1e3, 2),
+            "e2e_max_host_ms": round(comp["host"] * 1e3, 2),
+            "e2e_max_backend_ms": round(comp["backend"] * 1e3, 2)}
 
 
 def baseline_frontend_ms(frames, ground_plane_w, cam, ext_cfg,
@@ -445,19 +500,24 @@ def main():
     frames = list(ds.frames())
     n_frames = len(frames)
 
-    # ---- pass 1: warm (compiles, tier growth, remote-service ramp) ----
-    warm, _, _ = run_pipeline(frames)
+    # ---- pass 1: warm (compiles, tier growth, remote-service ramp).
+    # Every jit wrapper the tracker uses is process-shared (tracking.py
+    # _SHARED_JIT + module-level extractor jits), so each observation
+    # tier this pass touches stays compiled for the timed passes — the
+    # BENCH_r04 mid-pass 469 ms backend stall was a fresh System
+    # re-compiling a tier program inside the timed pass. -----------------
+    warm, _, _, _ = run_pipeline(frames)
     # ---- passes 2+3: timed, best-of-two (the tunnel's minute-scale
     # latency swings would otherwise dominate the mean).  All tail
     # statistics come from the single best pass so mean/p50/p90 are
     # mutually consistent. ---------------------------------------------
     best = None
     for _ in range(2):
-        slam_i, per_frame_i, drain_i = run_pipeline(frames)
+        slam_i, per_frame_i, drain_i, per_call_i = run_pipeline(frames)
         mean_i = (sum(per_frame_i) + drain_i) / n_frames * 1e3
         if best is None or mean_i < best[0]:
-            best = (mean_i, slam_i, per_frame_i, drain_i)
-    e2e_mean, slam, per_frame, drain = best
+            best = (mean_i, slam_i, per_frame_i, drain_i, per_call_i)
+    e2e_mean, slam, per_frame, drain, per_call = best
     pf_ms = np.asarray(per_frame) * 1e3
     e2e_p50 = float(np.median(pf_ms))
 
@@ -482,6 +542,10 @@ def main():
         "e2e_mean_excl_frame0_ms": round(float(pf_ms[1:].mean()), 3),
         "drain_ms": round(drain * 1e3, 3),
     }
+    tail.update(attribute_tail(pf_ms, per_call))
+    # regression pin: tests/test_bench_guard.py fails if a recorded
+    # driver bench's p90 exceeds 2x this pin (VERDICT r4 #2)
+    tail["e2e_p90_pin_ms"] = E2E_P90_PIN_MS
     tail.update(_stage_tail(m["dispatch"], "dispatch_"))
     tail.update(_stage_tail(m["fetch"], "fetch_"))
     tail.update(_stage_tail(m["host"], "host_"))
@@ -529,6 +593,8 @@ def main():
         "value": round(e2e_mean, 3),
         "unit": "ms",
         "vs_baseline": round(base_e2e_ms / e2e_mean, 1),
+        "baseline_kind": "f64 single-thread numpy replica of the "
+                         "reference pipeline (not the C++ binary)",
         "e2e_p50_ms": round(e2e_p50, 3),
         "frames": n_frames,
         "baseline_e2e_ms_per_frame": round(base_e2e_ms, 1),

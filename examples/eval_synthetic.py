@@ -187,7 +187,7 @@ def main():
         ate_in = ate_rmse(in_poses[:, :3], gt_poses[:, :3], align=False)
         poses_ref, obj_ref, chi2 = run_slam_mode(
             slam.tracker.state, slam.tracker.K, LMConfig(iters=10),
-            max_frames=max(args.frames, 8), odo_weight=1.0)
+            odo_weight=1.0)
         ate_ref = ate_rmse(poses_ref[:len(gt_poses), :3], gt_poses[:, :3],
                            align=False)
         print(f"SLAM mode: input ATE {ate_in * 100:.2f} cm -> refined "

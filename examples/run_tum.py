@@ -62,6 +62,15 @@ def main():
                          "objects (the reference's bSLAM_mode, "
                          "Optimizer.cpp:126-158) and save "
                          "trajectory_refined.txt / objects_slam.txt")
+    ap.add_argument("--slam-max-frames", type=int, default=None,
+                    metavar="F",
+                    help="--slam-mode frame window; default unbounded "
+                         "(grow-only capacity tiers sized from the run, "
+                         "like the reference's unbounded graph loops, "
+                         "Optimizer.cpp:126-158)")
+    ap.add_argument("--slam-max-objects", type=int, default=None,
+                    metavar="K",
+                    help="--slam-mode object cap; default unbounded")
     ap.add_argument("--odo-weight", type=float, default=1.0,
                     help="odometry sqrt-information for --slam-mode; the "
                          "reference uses identity information "
@@ -318,7 +327,8 @@ def _save_outputs(args, slam, builder, cam):
         st = slam.tracker.state
         poses_ref, obj_ref, chi2 = run_slam_mode(
             st, slam.tracker.K, LMConfig(iters=10),
-            max_frames=min(max(len(st.frames_ts), 8), 256),
+            max_frames=args.slam_max_frames,
+            max_objects=args.slam_max_objects,
             odo_weight=args.odo_weight)
         with open(os.path.join(args.out, "trajectory_refined.txt"),
                   "w") as f:

@@ -263,6 +263,88 @@ def _extract_multi_phase_b(depths, flat, a_out, sel_flat, cam, cfg, pad, B,
                            axis=1)
 
 
+@partial(jax.jit, static_argnames=("cam", "cfg", "pad", "B"))
+def _extract_multi_phase_a_q(depths, flat, cam, cfg, pad, B):
+    """Phase A + a QUANTIZED host-transfer companion (VERDICT r4 #4).
+
+    The split protocol's bottleneck on the tunneled device is the bulk
+    phase-A download (~2.1 MB of raw f32 at ~25 MB/s).  The host only
+    needs (points, mask, center, flags) to run the native union-find and
+    cluster selection, and 16-bit fixed point against each detection's
+    own AABB resolves to sub-0.1 mm there — far inside the 2 cm cluster
+    tolerance.  So this program additionally emits:
+
+      q    [pad, cap, 3] u16 — points quantized per detection
+                               (65535 = masked lane, folding the mask
+                               into the payload)
+      tail [pad, 11]     f32 — [lo(3), scale(3), center_w(3), okp, okc]
+
+    and the host copies ONLY (q, tail) (~6 cap + 44 bytes/row, ~2.6x
+    less than the f32 row); the full-precision ``a_out`` buffer stays
+    on device for phase B, whose math is therefore UNCHANGED — only the
+    host-side cluster/select sees quantized coordinates (error
+    < half a quantization step, ~0.1 mm on room-scale AABBs)."""
+    a_out = _extract_multi_phase_a(depths, flat, cam, cfg, pad, B)
+    cap = cfg.cloud_capacity
+    sparse = cfg.open_symmetry and cfg.sparse_symmetry
+    pts = a_out[:, :cap * 3].reshape(pad, cap, 3)
+    m2 = a_out[:, cap * 3:cap * 4] > 0.5
+    tail0 = a_out[:, cap * (5 if sparse else 4):]        # [pad, 5]
+
+    def quant_one(p, m, t5):
+        big = jnp.float32(3.4e38)
+        lo = jnp.min(jnp.where(m[:, None], p, big), axis=0)
+        hi = jnp.max(jnp.where(m[:, None], p, -big), axis=0)
+        any_m = jnp.any(m)
+        lo = jnp.where(any_m, lo, 0.0)
+        hi = jnp.where(any_m, hi, 1.0)
+        scale = jnp.maximum((hi - lo) / 65534.0, 1e-9)
+        q = jnp.clip(jnp.round((p - lo) / scale), 0, 65534)
+        q = jnp.where(m[:, None], q, 65535.0).astype(jnp.uint16)
+        return q, jnp.concatenate([lo, scale, t5[:3], t5[3:5]])
+
+    q, tail = jax.vmap(quant_one)(pts, m2, tail0)
+    return a_out, q, tail
+
+
+def host_cluster_select_multi_q(batch: "FrameBatch", q_np: np.ndarray,
+                                tail_np: np.ndarray):
+    """Host middle stage on the QUANTIZED phase-A transfer: dequantize,
+    native union-find, reference cluster selection.  Same contract as
+    ``host_cluster_select_multi`` (returns (flat_b, sel_flat))."""
+    from ..io.native_loader import cluster_labels
+
+    cfg = batch.cfg
+    pad = batch.pad
+    cap = cfg.cloud_capacity
+    sel_flat = np.zeros((pad, cap), np.float32)
+    flat_b = batch.flat.copy()
+    run = flat_b[pad * 5:pad * 6] > 0.5
+    for i in range(pad):
+        if not run[i]:
+            flat_b[pad * 5 + i] = 0.0
+            continue
+        qi = q_np[i]
+        m2 = qi[:, 0] != 65535
+        lo, scale = tail_np[i, :3], tail_np[i, 3:6]
+        center_w = tail_np[i, 6:9]
+        okp, okc = tail_np[i, 9] > 0.5, tail_np[i, 10] > 0.5
+        pts_w = (lo[None, :]
+                 + qi.astype(np.float32) * scale[None, :]).astype(np.float32)
+        pts_w[~m2] = 0.0
+        labels = cluster_labels(pts_w, m2, cfg.cluster_tolerance)
+        if labels is None:
+            raise RuntimeError(
+                "native cluster library unavailable; use the monolithic "
+                "offline path (OfflineMapper(split=False))")
+        sel, okcl = _select_cluster_np(
+            pts_w, m2, labels, center_w, cfg.cluster_min_size,
+            cfg.cluster_center_dis)
+        sel_flat[i] = sel
+        flat_b[pad * 5 + i] = float(okp and okc and okcl)
+    return flat_b, sel_flat
+
+
 def host_cluster_select_multi(batch: "FrameBatch", a_np: np.ndarray):
     """Host middle stage of the split protocol for a multi-frame batch:
     native grid-hash union-find labels + reference cluster selection per
@@ -375,9 +457,24 @@ def pack_frames_batch(cam: Camera, cfg: ExtractorConfig,
                       need_s=need_s, need_d=need_d, slices=slices)
 
 
-def dispatch_batch_phase_a(batch: FrameBatch, cam: Camera):
-    """Dispatch the batched phase A; returns its device buffer (async
-    host copy started — fetch it one batch later)."""
+def dispatch_batch_phase_a(batch: FrameBatch, cam: Camera,
+                           quantized: bool = False):
+    """Dispatch the batched phase A; returns the handle phase B consumes
+    (async host copies started — fetch one batch later).
+
+    ``quantized``: emit the u16 fixed-point host transfer
+    (_extract_multi_phase_a_q) and async-copy ONLY it; the f32 buffer
+    never crosses the link (handle = (a_out, q, tail))."""
+    if quantized:
+        a_out, q, tail = _extract_multi_phase_a_q(
+            jnp.asarray(batch.depths), jnp.asarray(batch.flat), cam,
+            batch.cfg, batch.pad, batch.B)
+        for arr in (q, tail):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        return (a_out, q, tail)
     out = _extract_multi_phase_a(jnp.asarray(batch.depths),
                                  jnp.asarray(batch.flat), cam, batch.cfg,
                                  batch.pad, batch.B)
@@ -388,10 +485,18 @@ def dispatch_batch_phase_a(batch: FrameBatch, cam: Camera):
     return out
 
 
-def dispatch_batch_phase_b(batch: FrameBatch, a_out, cam: Camera):
-    """Host-cluster phase A's (landed) output, dispatch the batched
-    phase B; returns the [pad, 12] device result."""
-    flat_b, sel = host_cluster_select_multi(batch, np.asarray(a_out))
+def dispatch_batch_phase_b(batch: FrameBatch, a_handle, cam: Camera):
+    """Host-cluster phase A's (landed) transfer, dispatch the batched
+    phase B; returns the [pad, 12] device result.  ``a_handle`` is
+    ``dispatch_batch_phase_a``'s return value (f32 buffer, or the
+    quantized (a_out, q, tail) triple)."""
+    if isinstance(a_handle, tuple):
+        a_out, q, tail = a_handle
+        flat_b, sel = host_cluster_select_multi_q(
+            batch, np.asarray(q), np.asarray(tail))
+    else:
+        a_out = a_handle
+        flat_b, sel = host_cluster_select_multi(batch, np.asarray(a_out))
     out = _extract_multi_phase_b(
         jnp.asarray(batch.depths), jnp.asarray(flat_b), a_out,
         jnp.asarray(sel.reshape(-1)), cam, batch.cfg, batch.pad, batch.B,

@@ -217,13 +217,34 @@ def _cluster_select_batch(pts_v, pts_w, cells_v, m2, center_w,
         vm_full = jax.vmap(lambda p, m: cl.connected_components(
             p, m, tol, outer_iters=it, with_converged=True, chains=ch))
         if N >= 4096:
-            cap = N // 2
-            vm_comp = jax.vmap(lambda p, m: cl.components_compacted(
-                p, m, tol, it, 12, cap, with_converged=True, chains=ch))
-            fits = jnp.max(jnp.sum(m2, axis=1)) <= cap
-            labels, conv = jax.lax.cond(
-                fits, lambda _: vm_comp(pts_w, m2),
-                lambda _: vm_full(pts_w, m2), None)
+            def vm_comp_at(cap):
+                return jax.vmap(lambda p, m: cl.components_compacted(
+                    p, m, tol, it, 12, cap, with_converged=True,
+                    chains=ch))
+            cap_h = N // 2
+            cap_34 = (3 * N) // 4
+            maxs = jnp.max(jnp.sum(m2, axis=1))
+            if cap_34 % cl._BLOCK == 0:
+                # 3/4-N middle tier (e.g. 12288 = 6 blocks at N=16384):
+                # the near-camera frames whose 11-13k survivors forced
+                # the 16384 tier overflow the half-N compaction and used
+                # to pay the full dense pass — the single largest device
+                # cost; at 3/4-N the quadratic pass is ~44 % cheaper
+                # with bit-identical labels (VERDICT r4 #3; reference
+                # hot loop EllipsoidExtractor.cpp:646-737)
+                labels, conv = jax.lax.cond(
+                    maxs <= cap_h,
+                    lambda _: vm_comp_at(cap_h)(pts_w, m2),
+                    lambda _: jax.lax.cond(
+                        maxs <= cap_34,
+                        lambda __: vm_comp_at(cap_34)(pts_w, m2),
+                        lambda __: vm_full(pts_w, m2), None),
+                    None)
+            else:
+                labels, conv = jax.lax.cond(
+                    maxs <= cap_h,
+                    lambda _: vm_comp_at(cap_h)(pts_w, m2),
+                    lambda _: vm_full(pts_w, m2), None)
         else:
             labels, conv = vm_full(pts_w, m2)
     sel, ok = jax.vmap(lambda p, m, l, c: cl.select_cluster(

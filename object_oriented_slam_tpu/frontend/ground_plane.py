@@ -131,14 +131,38 @@ def estimate_ground_plane(depth, cam: Camera, cfg: GroundPlaneConfig):
 
 def make_plane_estimator(cam: Camera,
                          cfg: GroundPlaneConfig = GroundPlaneConfig()):
-    """Adapter for system.Tracking's plane_estimator hook."""
+    """Adapter for system.Tracking's plane_estimator hook.
+
+    The returned callable also carries ``dispatch``/``resolve`` for the
+    tracker's asynchronous one-shot path: ``dispatch`` launches the
+    program and starts the async host copies without blocking (the
+    reference blocks its frame loop on PCL plane segmentation instead,
+    PlaneExtractor.cpp:126-183 via Tracking.cpp:716-799); ``resolve``
+    fetches the result — called a frame later, the copy has usually
+    landed and the fetch costs ~0 instead of a tunnel round trip.
+    """
     import numpy as np
 
-    def estimator(depth_u16):
+    def _dispatch(depth_u16):
         plane, ok = estimate_ground_plane(
             jnp.asarray(depth_u16.astype(np.int32)), cam, cfg)
+        for a in (plane, ok):
+            if hasattr(a, "copy_to_host_async"):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+        return plane, ok
+
+    def _resolve(handle):
+        plane, ok = handle
         if not bool(ok):
             return None
         return np.asarray(plane, np.float64)
 
+    def estimator(depth_u16):
+        return _resolve(_dispatch(depth_u16))
+
+    estimator.dispatch = _dispatch
+    estimator.resolve = _resolve
     return estimator

@@ -109,13 +109,26 @@ def _chain_structs(pts, mask, tol2, n_orders):
     never move during clustering, so the O(N log N) argsorts happen ONCE
     per call; a chain pass is then one gather + two segmented scans +
     one gather — ~10x cheaper than a dense [B, N] distance pass.
+
+    Caveat (shared with the module-level norm-expansion note): links use
+    the exact f32 ``d2 <= tol2`` test on uncentered points, while the
+    dense pass uses the centered norm-expansion d2 with ~1e-8 m^2
+    cancellation error — for pairs within that sub-noise band of the
+    radius boundary, chain passes can converge to a different (still
+    valid) component split than chains=0, so bit-identical-to-dense
+    claims hold only away from that boundary.
+
+    ``n_orders`` is clamped to the distinct axis permutations available
+    (len(_CHAIN_PERMS)): extra passes would reuse an identical order and
+    pay argsorts/scans for zero additional propagation.
     """
+    n_orders = min(n_orders, len(_CHAIN_PERMS))
     tol = jnp.sqrt(tol2)
     cell = jnp.floor(pts / tol).astype(jnp.int32)
     c = jnp.clip(cell + 512, 0, 1023)
     structs = []
     for k in range(n_orders):
-        p = _CHAIN_PERMS[k % len(_CHAIN_PERMS)]
+        p = _CHAIN_PERMS[k]
         key = (c[:, p[0]] << 20) | (c[:, p[1]] << 10) | c[:, p[2]]
         key = jnp.where(mask, key, jnp.int32(2 ** 30))
         order = jnp.argsort(key)
@@ -144,14 +157,18 @@ def _chain_apply(labels, struct):
     points that genuinely pass the f32 radius test), so chain passes
     never merge across true components — they only accelerate
     propagation inside them.  Labels are monotone non-increasing.
+    (Borderline pairs within the dense pass's ~1e-8 m^2 norm-expansion
+    error band can link here but not there, or vice versa — see
+    _chain_structs.)
     """
     order, inv, linked = struct
     lab_s = labels[order]
     start = ~linked
     fwd, _ = jax.lax.associative_scan(_seg_min_combine, (lab_s, start),
                                       axis=0)
-    is_end = jnp.concatenate([linked[1:], jnp.array([False])])
-    bwd, _ = jax.lax.associative_scan(_seg_min_combine, (lab_s, ~is_end),
+    linked_next = jnp.concatenate([linked[1:], jnp.array([False])])
+    bwd, _ = jax.lax.associative_scan(_seg_min_combine,
+                                      (lab_s, ~linked_next),
                                       axis=0, reverse=True)
     return jnp.minimum(fwd, bwd)[inv]
 

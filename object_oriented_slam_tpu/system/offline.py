@@ -54,7 +54,8 @@ class OfflineMapper:
     def __init__(self, system, cam, ext_cfg, batch_size: int = 8,
                  mesh=None, with_association: bool = True,
                  split: Optional[bool] = None, queue_depth: int = 2,
-                 backend_per_batch: bool = True):
+                 backend_per_batch: bool = True,
+                 split_quant: bool = True):
         self.system = system
         self.cam = cam
         self.ext_cfg = ext_cfg
@@ -77,6 +78,10 @@ class OfflineMapper:
             from ..io.native_loader import native_available
             split = native_available()
         self.split = split and mesh is None
+        # u16 fixed-point phase-A transfer (batch_extractor
+        # _extract_multi_phase_a_q): ~2.6x smaller bulk download, host
+        # clustering sees <0.1 mm quantization error
+        self.split_quant = bool(split_quant)
         # One global-BA program per BATCH (on its last frame) instead of
         # per frame: each device program costs a 5-30 ms fixed overhead
         # on the tunneled device, so the 8 per-frame LM programs of a
@@ -101,11 +106,17 @@ class OfflineMapper:
             tracker.adaptive_depth
         tracker.pipeline_depth = max(prev_depth, 4 * self.batch_size)
         tracker.adaptive_depth = False
+        # blocking plane bootstrap: the offline driver fully drains
+        # between bootstrap frames anyway, so the async one-shot deferral
+        # only delays the switch to the batched path by a frame
+        prev_async = tracker.async_plane
+        tracker.async_plane = False
         try:
             return self._run(tracker, frames, progress)
         finally:
             tracker.pipeline_depth = prev_depth
             tracker.adaptive_depth = prev_adapt
+            tracker.async_plane = prev_async
 
     def _run(self, tracker, frames, progress):
         t0 = time.perf_counter()
@@ -160,7 +171,9 @@ class OfflineMapper:
                 tracker.state.ground_plane, min_pad=self.batch_size)
             if self.split:
                 stage_a.append((recs, fb,
-                                dispatch_batch_phase_a(fb, self.cam)))
+                                dispatch_batch_phase_a(
+                                    fb, self.cam,
+                                    quantized=self.split_quant)))
                 if len(stage_a) > self.queue_depth:
                     advance_a()
                 if len(stage_b) > self.queue_depth:

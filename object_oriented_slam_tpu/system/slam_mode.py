@@ -10,6 +10,7 @@ set_odometry), and the optimization refines both trajectory and objects.
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -20,26 +21,57 @@ from ..backend import slam_ba
 from .state import SlamState
 from .tracking import _np_se3_inv, _np_se3_mul
 
+_LOG = logging.getLogger("object_oriented_slam_tpu")
+
+# grow-only capacity tiers (powers of two above a floor) so repeated
+# refinements of growing runs reuse jit caches, like the mapping
+# backend's object tiers (tracking.py _grow_object_tier)
+_F_MIN, _O_MIN, _E2_MIN, _E3_MIN = 64, 16, 256, 128
+
+
+def _tier(n: int, lo: int) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
 
 def build_slam_graph(state: SlamState, lm_cfg: LMConfig,
-                     max_frames: int = 128, max_objects: int = 16,
-                     max_e2: int = 1024, max_e3: int = 512,
+                     max_frames: Optional[int] = None,
+                     max_objects: Optional[int] = None,
+                     max_e2: Optional[int] = None,
+                     max_e3: Optional[int] = None,
                      gravity_on: bool = True,
                      odometry_wc: Optional[np.ndarray] = None,
                      odo_weight: float = 1.0
                      ) -> Tuple[slam_ba.SlamGraph, list]:
     """Pack the recorded observations into a fixed-capacity SlamGraph.
 
-    Returns (graph, instance order). Frames beyond max_frames use the most
-    recent window.  ``odometry_wc`` optionally provides a separate
-    trajectory whose *relative* motions become the odometry measurements
-    (e.g. wheel odometry, io/tum.py set_odometry); default is the input
-    trajectory itself.  ``odo_weight`` is the odometry sqrt-information
-    (the reference uses identity information, Optimizer.cpp:153-156, which
-    lets pixel-scale projection residuals dominate; raise it to reflect an
-    actually-accurate odometry source).
+    Returns (graph, instance order).  Capacities default to grow-only
+    power-of-two tiers sized from the actual frame/object/edge counts at
+    pack time, so — like the reference, whose SLAM-mode vertex/edge loops
+    are unbounded (Optimizer.cpp:126-158,175-180) — nothing is ever
+    silently dropped; the banded solver downstream is O(F K) precisely so
+    F can grow.  Passing an explicit cap re-enables windowing: frames
+    beyond ``max_frames`` use the most recent window, objects/edges past
+    the caps are dropped, and every truncation is logged loudly.
+
+    ``odometry_wc`` optionally provides a separate trajectory whose
+    *relative* motions become the odometry measurements (e.g. wheel
+    odometry, io/tum.py set_odometry); default is the input trajectory
+    itself.  ``odo_weight`` is the odometry sqrt-information (the
+    reference uses identity information, Optimizer.cpp:153-156, which
+    lets pixel-scale projection residuals dominate; raise it to reflect
+    an actually-accurate odometry source).
     """
     F_all = len(state.frames_pose_wc)
+    if max_frames is None:
+        max_frames = _tier(max(F_all, 1), _F_MIN)
+    elif F_all > max_frames:
+        _LOG.warning(
+            "SLAM-mode frame window: %d frames recorded but max_frames=%d "
+            "— refining only the most recent %d (pass max_frames=None for "
+            "the full unbounded graph)", F_all, max_frames, max_frames)
     start = max(0, F_all - max_frames)
     F = min(F_all, max_frames)
     frame_of = {start + i: i for i in range(F)}
@@ -51,7 +83,35 @@ def build_slam_graph(state: SlamState, lm_cfg: LMConfig,
         poses_cw[li] = _np_se3_inv(state.frames_pose_wc[gi]).astype(np.float32)
         frame_mask[li] = True
 
-    instances = sorted(state.initialized_instances())[:max_objects]
+    insts_all = sorted(state.initialized_instances())
+    if max_objects is None:
+        max_objects = _tier(max(len(insts_all), 1), _O_MIN)
+    elif len(insts_all) > max_objects:
+        _LOG.warning(
+            "SLAM-mode object cap: %d initialized instances but "
+            "max_objects=%d — DROPPING %d objects (pass max_objects=None "
+            "for the full graph)", len(insts_all), max_objects,
+            len(insts_all) - max_objects)
+    instances = insts_all[:max_objects]
+
+    # size the edge capacities from the actual counts before filling
+    need2 = need3 = 0
+    for inst in instances:
+        rec = state.objects[inst]
+        if len(rec.obs2d_bbox) > 2:  # >2-obs gate (Optimizer.cpp:201)
+            need2 += sum(1 for fb in rec.obs2d_frame if fb in frame_of)
+        need3 += sum(1 for fb in rec.obs3d_frame if fb in frame_of)
+    if max_e2 is None:
+        max_e2 = _tier(max(need2, 1), _E2_MIN)
+    elif need2 > max_e2:
+        _LOG.warning("SLAM-mode 2D-edge cap: %d edges but max_e2=%d — "
+                     "DROPPING %d", need2, max_e2, need2 - max_e2)
+    if max_e3 is None:
+        max_e3 = _tier(max(need3, 1), _E3_MIN)
+    elif need3 > max_e3:
+        _LOG.warning("SLAM-mode 3D-edge cap: %d edges but max_e3=%d — "
+                     "DROPPING %d", need3, max_e3, need3 - max_e3)
+
     objects = np.tile(np.array([0, 0, 0, 0, 0, 0, 1, 1, 1, 1], np.float32),
                       (max_objects, 1))
     obj_mask = np.zeros(max_objects, bool)
@@ -95,7 +155,6 @@ def build_slam_graph(state: SlamState, lm_cfg: LMConfig,
                 n3 += 1
 
     # odometry chain from the input trajectory (Optimizer.cpp:142-158)
-    n_odo = max(F - 1, 1)
     max_odo = max_frames - 1
     odo_i = np.zeros(max_odo, np.int32)
     odo_j = np.zeros(max_odo, np.int32)

@@ -68,6 +68,39 @@ def _np_se3_mul(a, b):
 # result is (or will be) in Tracking._ext_results[frame_id]
 _FUSED_PENDING = object()
 
+# Process-wide jit wrappers shared by every Tracking instance.  A
+# per-instance ``jax.jit`` owns a private trace/executable cache, so a
+# fresh ``System`` re-traced and re-compiled every observation-tier
+# program it touched — benign for a single long-lived system, but a
+# multi-pass benchmark (or any multi-system process) paid a mid-run
+# ~0.3-0.5 s persistent-cache reload the first time each tier appeared
+# in a timed pass (the unattributed BENCH_r04 p99).  The wrapped
+# functions are pure; sharing is semantics-free.
+_SHARED_JIT: Dict = {}
+
+
+def _shared_opt_fn(use_soa: bool):
+    key = ("opt", use_soa)
+    if key not in _SHARED_JIT:
+        from ..backend import optimize_objects_soa
+        _SHARED_JIT[key] = jax.jit(
+            optimize_objects_soa if use_soa else optimize_objects,
+            static_argnames=("cfg",))
+    return _SHARED_JIT[key]
+
+
+def _shared_init_fn(rows: int, cols: int):
+    """Packed [11] SVD-init program (vec10, ok), keyed by image size."""
+    key = ("init", rows, cols)
+    if key not in _SHARED_JIT:
+        def _init_packed(p, b, m, K):
+            res = init_quadric_svd(p, b, m, K, rows, cols)
+            return jnp.concatenate(
+                [res.ellipsoid,
+                 res.ok.astype(res.ellipsoid.dtype)[None]])
+        _SHARED_JIT[key] = jax.jit(_init_packed)
+    return _SHARED_JIT[key]
+
 
 def _default_plane_check(plane_world) -> bool:
     """Tracking.cpp:758-772: print the plane, ask Y/N on the terminal.
@@ -169,10 +202,7 @@ class Tracking:
         # than the AoS layout; agreement to f32 round-off (~1e-4 on the
         # map, far inside the goldens' 0.05 m tolerance)
         self.use_soa_backend = True
-        from ..backend import optimize_objects_soa
-        self._opt_fn = jax.jit(
-            optimize_objects_soa if self.use_soa_backend else optimize_objects,
-            static_argnames=("cfg",))
+        self._opt_fn = _shared_opt_fn(self.use_soa_backend)
         self._mesh = None  # set by enable_distributed
         # host-side incremental SVD init: O(1) Gram update per observation,
         # one 10x10 eigh per attempt, no device round trip (the jitted
@@ -235,18 +265,19 @@ class Tracking:
         self.fuse_lm = False
         self._deferred_lm = None
         self._ext_results: Dict[int, object] = {}  # fused-protocol results
+        # async one-shot ground-plane estimation: the dispatching frame's
+        # body is deferred until the next grab resolves the plane fetch
+        # (see _resolve_pending_plane); pure scheduling, results identical
+        self.async_plane = True
+        self._pending_plane = None
+        self._plane_deferred: List[tuple] = []
         self._pending_extraction = deque()
         self._pending_backends = deque()   # (frame_no, est, slots, nobs)
         self._backend_calls = 0
         self.max_objects = self.MAX_OBJECTS  # current object-axis tier
         self._init_np_buffers()
         # packed [11] output (vec10, ok) -> one host fetch per attempt
-        def _init_packed(p, b, m, K):
-            res = init_quadric_svd(p, b, m, K, self.rows, self.cols)
-            return jnp.concatenate(
-                [res.ellipsoid,
-                 res.ok.astype(res.ellipsoid.dtype)[None]])
-        self._init_fn = jax.jit(_init_packed)
+        self._init_fn = _shared_init_fn(self.rows, self.cols)
         # per-frame instrumentation (seconds), see SURVEY.md section 5
         self.metrics: Dict[str, List[float]] = {"backend": [], "frontend": [],
                                                 "total": [], "dispatch": [],
@@ -298,24 +329,80 @@ class Tracking:
         det_mat = np.asarray(det_mat, np.float64).reshape(-1, 8) \
             if det_mat is not None and det_mat.size else np.zeros((0, 8))
 
+        # a plane estimate dispatched async by an earlier frame: resolve
+        # it now (its copy had a full frame period to land -> ~0-cost
+        # fetch) and replay that frame's deferred body first, in order
+        self._resolve_pending_plane()
+
         # ---- [1.1] ground plane estimation (once) ---------------------
         if self.state.ground_state == 1 and self.plane_estimator is not None \
                 and depth is not None:
+            if (self.async_plane
+                    and hasattr(self.plane_estimator, "dispatch")
+                    and self.pipelined and self.pipeline_depth >= 2):
+                # async one-shot: dispatch the plane program + host copies
+                # and DEFER this frame's whole body until the result is
+                # resolved at the next grab (or sync()) — the blocking
+                # round trip the reference pays synchronously
+                # (Tracking.cpp:716-799) overlaps the next frame's arrival
+                self._pending_plane = (
+                    self.plane_estimator.dispatch(depth), pose_wc)
+                self._plane_deferred.append(
+                    (frame_id, pose_wc, det_mat, depth, rgb,
+                     with_association, ext_result))
+                return True
             plane_cam = self.plane_estimator(depth)
             if plane_cam is not None:
-                pw = np.asarray(plane_cam, np.float64)
-                # to world (Tracking.cpp:723-724)
-                from ..core import plane as plane_mod
-                pw = np.asarray(plane_mod.transform(
-                    jnp.asarray(pw.astype(np.float32)),
-                    jnp.asarray(pose_wc.astype(np.float32))), np.float64)
-                if (not self.plane_manual_check
-                        or self.plane_manual_check_fn(pw)):
-                    self.state.ground_plane = pw
-                    self.state.ground_state = 2
+                self._latch_plane(plane_cam, pose_wc)
                 # else: state stays 1, retry next frame
                 # (Tracking.cpp:766-771)
+        return self._frame_body(frame_id, pose_wc, det_mat, depth, rgb,
+                                with_association, ext_result, t0)
 
+    # ------------------------------------------------------------------
+    def _latch_plane(self, plane_cam, pose_wc):
+        """World-transform + manual check + latch (Tracking.cpp:723-771)."""
+        pw = np.asarray(plane_cam, np.float64)
+        # to world (Tracking.cpp:723-724)
+        from ..core import plane as plane_mod
+        pw = np.asarray(plane_mod.transform(
+            jnp.asarray(pw.astype(np.float32)),
+            jnp.asarray(pose_wc.astype(np.float32))), np.float64)
+        if (not self.plane_manual_check
+                or self.plane_manual_check_fn(pw)):
+            self.state.ground_plane = pw
+            self.state.ground_state = 2
+
+    # ------------------------------------------------------------------
+    def _resolve_pending_plane(self):
+        """Fetch an async plane dispatch and replay deferred frames.
+
+        Replay order preserves the reference's strict per-frame
+        processing: the deferred frames' bodies (extraction dispatch,
+        association, init, backend) run before the current frame's.
+        On a failed estimate the deferred frames replay WITHOUT a
+        latched plane (ground_state stays 1), which skips extraction
+        exactly like the reference's state machine does for frames seen
+        while estimation is still open."""
+        if self._pending_plane is None:
+            return
+        import time
+        handle, disp_pose = self._pending_plane
+        self._pending_plane = None
+        plane_cam = self.plane_estimator.resolve(handle)
+        if plane_cam is not None:
+            self._latch_plane(plane_cam, disp_pose)
+        deferred, self._plane_deferred = self._plane_deferred, []
+        for (fid, pw, dm, dep, rg, wa, er) in deferred:
+            self._frame_body(fid, pw, dm, dep, rg, wa, er,
+                             time.perf_counter())
+
+    # ------------------------------------------------------------------
+    def _frame_body(self, frame_id, pose_wc, det_mat, depth, rgb,
+                    with_association, ext_result, t0):
+        """Everything after ground-plane handling for one frame:
+        extraction dispatch, pipeline bookkeeping, deferred processing."""
+        import time
         # ---- [1.2] single-frame ellipsoid estimation (dispatch) --------
         n_det = det_mat.shape[0]
         ext_out = None
@@ -804,8 +891,8 @@ class Tracking:
         self._est_prev_dev = None
         self._prev_batch_slots: set = set()
 
-        # per-(M2,M3)-tier unpack functions (see _get_unpack)
-        self._unpack_cache: Dict = {}
+        # per-(O,M2,M3)-tier unpack programs live in the process-wide
+        # _SHARED_JIT cache (see _get_unpack)
 
     def _slot_for(self, inst: int):
         slot = self._slot_of.get(inst)
@@ -887,8 +974,8 @@ class Tracking:
         once.  ``O`` is passed explicitly because a prepared batch can
         outlive a tier growth (LM fusion defers dispatch by a frame).
         """
-        key = (O, M2t, M3t)
-        fn = self._unpack_cache.get(key)
+        key = ("unpack", O, M2t, M3t)
+        fn = _SHARED_JIT.get(key)
         if fn is not None:
             return fn
         shapes = [("est0", (O, 10)), ("objmask", (O,)), ("useprev", (O,)),
@@ -919,7 +1006,7 @@ class Tracking:
                 pose3d_wc=out["p3"], meas3d=out["me3"], prob3d=out["pr3"],
                 mask3d=out["m3"] > 0.5)
 
-        self._unpack_cache[key] = _unpack
+        _SHARED_JIT[key] = _unpack
         return _unpack
 
     @staticmethod
@@ -1110,6 +1197,7 @@ class Tracking:
 
     def sync(self):
         """Flush the pipeline: process deferred frames in order, drain."""
+        self._resolve_pending_plane()
         self._flushing = True
         try:
             while self._pending_extraction:
