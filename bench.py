@@ -345,7 +345,7 @@ def run_pipeline(frames):
     """
     slam, _, _ = make_system()
     m = slam.tracker.metrics
-    stage_keys = ("dispatch", "fetch", "host", "backend")
+    stage_keys = ("dispatch", "fetch", "host", "backend", "plane_wait")
     per_frame, per_call = [], []
     for i, ts, pose, depth, rgb, det in frames:
         pre = {k: len(m[k]) for k in stage_keys}
@@ -368,11 +368,15 @@ def attribute_tail(pf_ms, per_call):
     """
     fid = int(np.argmax(pf_ms))
     comp = dict(per_call[fid])
-    total_known = (comp["dispatch"] + comp["host"]) * 1e3
+    pw = comp.pop("plane_wait", 0.0)
+    total_known = (comp["dispatch"] + comp["host"] + pw) * 1e3
     comp["host"] = max(comp["host"] - comp["fetch"] - comp["backend"], 0.0)
+    comp["plane_wait"] = pw
     dom = max(comp, key=comp.get)
     dom_ms = comp[dom] * 1e3
-    if dom == "fetch":
+    if dom == "plane_wait":
+        cause = "plane-resolve-wait"
+    elif dom == "fetch":
         cause = "blocked-fetch"
     elif dom == "backend":
         cause = "backend-dispatch-stall"
@@ -390,7 +394,8 @@ def attribute_tail(pf_ms, per_call):
             "e2e_max_dispatch_ms": round(comp["dispatch"] * 1e3, 2),
             "e2e_max_fetch_ms": round(comp["fetch"] * 1e3, 2),
             "e2e_max_host_ms": round(comp["host"] * 1e3, 2),
-            "e2e_max_backend_ms": round(comp["backend"] * 1e3, 2)}
+            "e2e_max_backend_ms": round(comp["backend"] * 1e3, 2),
+            "e2e_max_plane_wait_ms": round(pw * 1e3, 2)}
 
 
 def baseline_frontend_ms(frames, ground_plane_w, cam, ext_cfg,
@@ -653,20 +658,36 @@ def main():
             _extract_multi_packed, pack_frames_batch)
         from object_oriented_slam_tpu.system.offline import OfflineMapper
 
-        def run_offline():
+        def run_offline(**kw):
             slam_o, cam_o, cfg_o = make_system()
-            mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=8)
+            mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=8,
+                                   **kw)
             return mapper.run(iter(frames))
 
         run_offline()                      # warm (compiles)
         off = min((run_offline() for _ in range(2)),
                   key=lambda s: s["seconds"])
+        # split protocol with the u16 fixed-point phase-A transfer
+        # (~2.6x smaller bulk download; VERDICT r4 #4)
+        try:
+            run_offline(split=True)        # warm
+            off_q = min((run_offline(split=True) for _ in range(2)),
+                        key=lambda s: s["seconds"])
+            out["offline_split_quant_fps"] = round(off_q["fps"], 2)
+            out["offline_split_quant_ms_per_frame"] = round(
+                off_q["seconds"] / off_q["frames"] * 1e3, 3)
+        except Exception as e:
+            out["offline_split_error"] = repr(e)[:120]
         out["offline_fps"] = round(off["fps"], 2)
         out["offline_ms_per_frame"] = round(
             off["seconds"] / off["frames"] * 1e3, 3)
         out["offline_vs_online"] = round(
             out["offline_ms_per_frame"] and
             e2e_mean / out["offline_ms_per_frame"], 2)
+        best_off = min(out["offline_ms_per_frame"],
+                       out.get("offline_split_quant_ms_per_frame",
+                               float("inf")))
+        out["offline_best_vs_online"] = round(e2e_mean / best_off, 2)
 
         # roofline of the batched extraction program (B=8 cabinet
         # frames, the shapes the mapper dispatches)

@@ -1,0 +1,102 @@
+"""Round-5 in-process A/Bs on the attached TPU (VERDICT r4 items 3, 4, 7).
+
+One process (cross-process timing on the tunneled device is invalid —
+CLAUDE.md): online pipeline passes, the 3/4-N compacted clustering tier
+on the worst cabinet frames, and the offline protocol ladder
+(monolithic vs split-exact vs split-quantized) against the online pass.
+Prints one JSON line; results land in BENCH_DETAILS.md round 5.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+
+def main():
+    import jax.numpy as jnp
+    from object_oriented_slam_tpu.io import TUMDataset
+    from object_oriented_slam_tpu.system.offline import OfflineMapper
+
+    frames = list(TUMDataset(bench.CABINET).frames())
+    n = len(frames)
+    out = {"n_frames": n}
+
+    # ---- online passes (warm + 2 timed) ------------------------------
+    t0 = time.perf_counter()
+    slam_w, _, _, _ = bench.run_pipeline(frames)
+    out["online_warm_s"] = round(time.perf_counter() - t0, 1)
+    best = None
+    for _ in range(2):
+        _, pf, drain, per_call = bench.run_pipeline(frames)
+        mean = (sum(pf) + drain) / n * 1e3
+        if best is None or mean < best[0]:
+            best = (mean, pf, per_call)
+    mean, pf, per_call = best
+    pf_ms = np.asarray(pf) * 1e3
+    out["online_ms_mean"] = round(mean, 2)
+    out["online_p50_ms"] = round(float(np.median(pf_ms)), 2)
+    out["online_p90_ms"] = round(float(np.percentile(pf_ms, 90)), 2)
+    out["online_frame0_ms"] = round(float(pf_ms[0]), 2)
+    out["online_max_ms"] = round(float(pf_ms.max()), 2)
+    out.update(bench.attribute_tail(pf_ms, per_call))
+
+    # ---- 3/4-N compacted clustering tier A/B -------------------------
+    # worst near-camera frames (33-39: 11-13k survivors at the 16384
+    # tier) + frame 25 control (fits the half-N compaction either way)
+    from object_oriented_slam_tpu.frontend.extractor import (_extract_packed,
+                                                             _pack_frame)
+    _, cam, ext_cfg = bench.make_system()
+    gp = slam_w.tracker.state.ground_plane
+    for fid in (25, 33, 35, 37, 39):
+        i, ts, pose, depth, rgb, det = frames[fid]
+        det = np.asarray(det, np.float64).reshape(-1, 8)
+        for tag, c34 in (("c34", True), ("full", False)):
+            cfg_v = dataclasses.replace(ext_cfg, compact_34=c34)
+            h = _pack_frame(cam, cfg_v, depth, det[:, 1:5],
+                            det[:, 5].astype(int), pose.astype(np.float32),
+                            gp)
+            args = (h.depth_j, jnp.asarray(h.flat), cam, h.cfg, h.pad,
+                    h.need_s, h.need_d)
+            outs = [_extract_packed(*args) for _ in range(12)]
+            float(np.asarray(outs[-1]).sum())
+            t0 = time.perf_counter()
+            outs = [_extract_packed(*args) for _ in range(20)]
+            float(np.asarray(outs[-1]).sum())
+            key = f"ext_f{fid}_{tag}_ms"
+            out[key] = round((time.perf_counter() - t0) / 20 * 1e3, 2)
+            out[f"tier_f{fid}"] = h.cfg.cloud_capacity
+
+    # ---- offline ladder ----------------------------------------------
+    def run_off(tag, **kw):
+        slam_o, cam_o, cfg_o = bench.make_system()
+        mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=8, **kw)
+        mapper.run(iter(frames))                     # warm
+        stats = None
+        for _ in range(2):
+            slam_o, cam_o, cfg_o = bench.make_system()
+            mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=8, **kw)
+            s = mapper.run(iter(frames))
+            if stats is None or s["seconds"] < stats["seconds"]:
+                stats = s
+        out[f"off_{tag}_fps"] = round(stats["fps"], 2)
+        out[f"off_{tag}_ms"] = round(
+            stats["seconds"] / stats["frames"] * 1e3, 2)
+
+    run_off("mono")
+    run_off("split_exact", split=True, split_quant=False)
+    run_off("split_quant", split=True, split_quant=True)
+    out["off_best_vs_online"] = round(
+        out["online_ms_mean"] / min(out["off_mono_ms"],
+                                    out["off_split_exact_ms"],
+                                    out["off_split_quant_ms"]), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,11 +92,37 @@ def run_point(out_root, scene, cam, n_frames, depth_noise=0.0,
     }
 
 
+def run_point_seeds(out_root, scene, cam, n_frames, seeds=(2, 3, 4),
+                    **kw):
+    """run_point across corruption seeds; returns the per-seed results
+    plus median/min/max spread of the headline metrics (a one-seed curve
+    produced non-monotonic artifacts — the round-4 dropout inversion and
+    a 1.7 m single-object outlier; see BENCH_DETAILS round 5)."""
+    import numpy as np
+
+    runs = [run_point(out_root, scene, cam, n_frames, seed=s, **kw)
+            for s in seeds]
+    agg = {"seeds": len(runs)}
+    for key in ("center_p50_m", "center_max_m", "iou_mean"):
+        vals = [r[key] for r in runs if r[key] is not None]
+        if vals:
+            agg[key + "_med"] = round(float(np.median(vals)), 4)
+            agg[key + "_min"] = round(float(np.min(vals)), 4)
+            agg[key + "_max"] = round(float(np.max(vals)), 4)
+    agg["covered_min"] = min(r["covered"] for r in runs)
+    agg["objects_gt"] = runs[0]["objects_gt"]
+    return runs, agg
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=36)
     ap.add_argument("--objects", type=int, default=6)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--corruption-seeds", type=int, nargs="+",
+                    default=[2, 3, 4],
+                    help="corruption RNG seeds per sweep point; the "
+                         "scene itself is fixed by --seed")
     ap.add_argument("--out", default=os.path.join(tempfile.gettempdir(),
                                                   "noise_sweep"))
     args = ap.parse_args()
@@ -122,9 +148,11 @@ def main():
                                       "bbox_jitter": 2.0,
                                       "det_dropout": 0.2})])
     for axis, kw in points:
-        res = run_point(args.out, scene, cam, args.frames, **kw)
+        runs, agg = run_point_seeds(args.out, scene, cam, args.frames,
+                                    seeds=tuple(args.corruption_seeds),
+                                    **kw)
         level = kw[axis] if axis in kw else kw
-        print(json.dumps({"axis": axis, "level": level, **res}),
+        print(json.dumps({"axis": axis, "level": level, **agg}),
               flush=True)
 
 

@@ -81,6 +81,13 @@ class ExtractorConfig:
                               # pass on this latency-dominated device).
                               # Kept selectable for low-op-latency
                               # devices; see BENCH_DETAILS round 5.
+    compact_34: bool = True   # add the 3/4-N compacted clustering tier
+                              # between the half-N compaction and the
+                              # full dense pass (N >= 8192 tiers where
+                              # 3N/4 is block-aligned); labels identical,
+                              # ~44 % cheaper quadratic pass on the
+                              # 11-13k-survivor near-camera frames
+                              # (VERDICT r4 #3, A/B in BENCH_DETAILS r5)
     grid_cluster: bool = False  # O(N*C) grid-hash clustering — exact and
                                 # asymptotically better, but the remote
                                 # TPU toolchain pathologizes its gathers
@@ -224,7 +231,7 @@ def _cluster_select_batch(pts_v, pts_w, cells_v, m2, center_w,
             cap_h = N // 2
             cap_34 = (3 * N) // 4
             maxs = jnp.max(jnp.sum(m2, axis=1))
-            if cap_34 % cl._BLOCK == 0:
+            if cfg.compact_34 and cap_34 % cl._BLOCK == 0:
                 # 3/4-N middle tier (e.g. 12288 = 6 blocks at N=16384):
                 # the near-camera frames whose 11-13k survivors forced
                 # the 16384 tier overflow the half-N compaction and used

@@ -281,7 +281,8 @@ class Tracking:
         # per-frame instrumentation (seconds), see SURVEY.md section 5
         self.metrics: Dict[str, List[float]] = {"backend": [], "frontend": [],
                                                 "total": [], "dispatch": [],
-                                                "fetch": [], "host": []}
+                                                "fetch": [], "host": [],
+                                                "plane_wait": []}
         self.depth_trace: List[int] = []  # pipeline_depth per frame
 
     # ------------------------------------------------------------------
@@ -321,6 +322,13 @@ class Tracking:
         association, init, backend) is identical.
         """
         import time
+        # a plane estimate dispatched async by an earlier frame: resolve
+        # it now (its copy had a full frame period to land -> ~0-cost
+        # fetch) and replay that frame's deferred body first, in order.
+        # BEFORE this frame's t0: the wait and the replayed bodies carry
+        # their own metric entries (plane_wait + the replayed frames'
+        # dispatch), so this frame's stages stay cleanly attributed.
+        self._resolve_pending_plane()
         t0 = time.perf_counter()
         pose_wc = np.asarray(pose_wc, np.float64)
         frame_id = len(self.state.frames_pose_wc)
@@ -328,11 +336,6 @@ class Tracking:
         self.state.frames_ts.append(timestamp)
         det_mat = np.asarray(det_mat, np.float64).reshape(-1, 8) \
             if det_mat is not None and det_mat.size else np.zeros((0, 8))
-
-        # a plane estimate dispatched async by an earlier frame: resolve
-        # it now (its copy had a full frame period to land -> ~0-cost
-        # fetch) and replay that frame's deferred body first, in order
-        self._resolve_pending_plane()
 
         # ---- [1.1] ground plane estimation (once) ---------------------
         if self.state.ground_state == 1 and self.plane_estimator is not None \
@@ -389,9 +392,14 @@ class Tracking:
         import time
         handle, disp_pose = self._pending_plane
         self._pending_plane = None
+        t0 = time.perf_counter()
         plane_cam = self.plane_estimator.resolve(handle)
         if plane_cam is not None:
             self._latch_plane(plane_cam, disp_pose)
+        # how long the resolve blocked (compute not finished when the
+        # next frame arrived): back-to-back feeds pay most of the plane
+        # compute here; real-time feeds pay ~0 (bench attributes it)
+        self.metrics["plane_wait"].append(time.perf_counter() - t0)
         deferred, self._plane_deferred = self._plane_deferred, []
         for (fid, pw, dm, dep, rg, wa, er) in deferred:
             self._frame_body(fid, pw, dm, dep, rg, wa, er,

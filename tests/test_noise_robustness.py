@@ -22,7 +22,7 @@ YAML = "/root/reference/Example/param/TUM3.yaml"
 
 
 def test_operating_point_thresholds(tmp_path):
-    from noise_sweep import run_point
+    from noise_sweep import run_point_seeds
     from object_oriented_slam_tpu.core.camera import Camera
     from object_oriented_slam_tpu.io.synthetic import make_scene
 
@@ -30,13 +30,15 @@ def test_operating_point_thresholds(tmp_path):
                  width=640, height=480)
     scene = make_scene(n_objects=4, seed=7, camera=cam,
                        radius_range=(1.3, 1.9))
-    res = run_point(str(tmp_path), scene, cam, n_frames=24,
-                    depth_noise=0.02, bbox_jitter=2.0, det_dropout=0.2)
-    # all objects recovered despite the corruption...
-    assert res["covered"] == res["objects_gt"] == 4, res
-    # ...with bounded error (thresholds ~2x the clean-run numbers so
-    # hour-to-hour f32 jitter cannot flake them, but a broken gate or
-    # association regression blows straight through)
-    assert res["center_p50_m"] is not None and res["center_p50_m"] < 0.12, res
-    assert res["center_max_m"] < 0.40, res
-    assert res["iou_mean"] is not None and res["iou_mean"] > 0.30, res
+    runs, agg = run_point_seeds(str(tmp_path), scene, cam, n_frames=24,
+                                seeds=(2, 3, 4), depth_noise=0.02,
+                                bbox_jitter=2.0, det_dropout=0.2)
+    # all objects recovered in every seed despite the corruption...
+    assert agg["covered_min"] == agg["objects_gt"] == 4, (runs, agg)
+    # ...with bounded SEED-MEDIAN error (a single-seed pin was hostage
+    # to one bad draw — the round-4 dropout inversion; medians keep the
+    # pin tight while hour-to-hour f32 jitter cannot flake it, and a
+    # broken gate or association regression blows straight through)
+    assert agg["center_p50_m_med"] < 0.12, agg
+    assert agg["center_max_m_med"] < 0.40, agg
+    assert agg["iou_mean_med"] > 0.30, agg

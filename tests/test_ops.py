@@ -255,6 +255,15 @@ def test_connected_components_compact_identical():
             jnp.asarray(pts), jnp.asarray(mask), 0.05, outer_iters=48,
             compact_cap=N // 2))
         assert np.array_equal(a, b), frac
+        # the 3/4-N middle tier (frontend._cluster_select_batch) maps
+        # labels identically too; 0.7N survivors land in (N/2, 3N/4]
+        # where the tier engages.  (Measured dormant on cabinet: device
+        # survivors are 5-6.6k at the 16384 tier, always under N/2 —
+        # BENCH_DETAILS round 5.)
+        c = np.asarray(cl.components_compacted(
+            jnp.asarray(pts), jnp.asarray(mask), 0.05, 48, 12,
+            (3 * N) // 4))
+        assert np.array_equal(a, c), frac
 
 
 def test_connected_components_chain_variants_identical():
