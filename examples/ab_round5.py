@@ -53,11 +53,11 @@ def main():
                                                              _pack_frame)
     _, cam, ext_cfg = bench.make_system()
     gp = slam_w.tracker.state.ground_plane
-    for fid in (25, 33, 35, 37, 39):
+    for fid in (25, 37, 39, 41, 45):
         i, ts, pose, depth, rgb, det = frames[fid]
         det = np.asarray(det, np.float64).reshape(-1, 8)
-        for tag, c34 in (("c34", True), ("full", False)):
-            cfg_v = dataclasses.replace(ext_cfg, compact_34=c34)
+        for tag, ladder in (("ladder", True), ("halfN", False)):
+            cfg_v = dataclasses.replace(ext_cfg, compact_tiers=ladder)
             h = _pack_frame(cam, cfg_v, depth, det[:, 1:5],
                             det[:, 5].astype(int), pose.astype(np.float32),
                             gp)
@@ -71,6 +71,8 @@ def main():
             key = f"ext_f{fid}_{tag}_ms"
             out[key] = round((time.perf_counter() - t0) / 20 * 1e3, 2)
             out[f"tier_f{fid}"] = h.cfg.cloud_capacity
+        print(json.dumps({k: v for k, v in out.items()
+                          if f"f{fid}" in k}), flush=True)
 
     # ---- offline ladder ----------------------------------------------
     def run_off(tag, **kw):

@@ -81,13 +81,16 @@ class ExtractorConfig:
                               # pass on this latency-dominated device).
                               # Kept selectable for low-op-latency
                               # devices; see BENCH_DETAILS round 5.
-    compact_34: bool = True   # add the 3/4-N compacted clustering tier
-                              # between the half-N compaction and the
-                              # full dense pass (N >= 8192 tiers where
-                              # 3N/4 is block-aligned); labels identical,
-                              # ~44 % cheaper quadratic pass on the
-                              # 11-13k-survivor near-camera frames
-                              # (VERDICT r4 #3, A/B in BENCH_DETAILS r5)
+    compact_tiers: bool = True  # compaction-capacity ladder {N/4, 3N/8,
+                                # N/2, 3N/4} (block-aligned rungs only)
+                                # instead of half-N-only: each frame's
+                                # clustering pays the smallest rung that
+                                # holds its survivors — quadratic pass
+                                # cost, so the 6144 rung the 5-6.6k-
+                                # survivor cabinet frames land on is
+                                # ~44 % cheaper than the old 8192.
+                                # Labels identical at every rung
+                                # (VERDICT r4 #3; A/B BENCH_DETAILS r5)
     grid_cluster: bool = False  # O(N*C) grid-hash clustering — exact and
                                 # asymptotically better, but the remote
                                 # TPU toolchain pathologizes its gathers
@@ -228,30 +231,33 @@ def _cluster_select_batch(pts_v, pts_w, cells_v, m2, center_w,
                 return jax.vmap(lambda p, m: cl.components_compacted(
                     p, m, tol, it, 12, cap, with_converged=True,
                     chains=ch))
-            cap_h = N // 2
-            cap_34 = (3 * N) // 4
             maxs = jnp.max(jnp.sum(m2, axis=1))
-            if cfg.compact_34 and cap_34 % cl._BLOCK == 0:
-                # 3/4-N middle tier (e.g. 12288 = 6 blocks at N=16384):
-                # the near-camera frames whose 11-13k survivors forced
-                # the 16384 tier overflow the half-N compaction and used
-                # to pay the full dense pass — the single largest device
-                # cost; at 3/4-N the quadratic pass is ~44 % cheaper
-                # with bit-identical labels (VERDICT r4 #3; reference
-                # hot loop EllipsoidExtractor.cpp:646-737)
-                labels, conv = jax.lax.cond(
-                    maxs <= cap_h,
-                    lambda _: vm_comp_at(cap_h)(pts_w, m2),
-                    lambda _: jax.lax.cond(
-                        maxs <= cap_34,
-                        lambda __: vm_comp_at(cap_34)(pts_w, m2),
-                        lambda __: vm_full(pts_w, m2), None),
-                    None)
+            if cfg.compact_tiers:
+                # compaction-capacity LADDER: smallest block-aligned cap
+                # in {N/4, 3N/8, N/2, 3N/4} that holds the frame's
+                # survivors (pass cost is quadratic in the cap, so each
+                # finer tier cuts the dominant device stage ~44 % vs the
+                # next; cabinet near-camera frames carry 5.0-6.6k
+                # survivors at the 16384 tier -> the 6144 rung, where the
+                # old half-N-only compaction paid 8192^2).  Labels are
+                # identical at every rung (components_compacted's stable
+                # index mapping).  Reference hot loop:
+                # EllipsoidExtractor.cpp:646-737 (PCL KdTree clustering).
+                caps = [c for c in (N // 4, (3 * N) // 8, N // 2,
+                                    (3 * N) // 4)
+                        if c % cl._BLOCK == 0 and c >= cl._BLOCK]
             else:
-                labels, conv = jax.lax.cond(
-                    maxs <= cap_h,
-                    lambda _: vm_comp_at(cap_h)(pts_w, m2),
-                    lambda _: vm_full(pts_w, m2), None)
+                caps = [N // 2]
+
+            def ladder(k):
+                if k >= len(caps):
+                    return vm_full(pts_w, m2)
+                return jax.lax.cond(
+                    maxs <= caps[k],
+                    lambda _: vm_comp_at(caps[k])(pts_w, m2),
+                    lambda _: ladder(k + 1), None)
+
+            labels, conv = ladder(0)
         else:
             labels, conv = vm_full(pts_w, m2)
     sel, ok = jax.vmap(lambda p, m, l, c: cl.select_cluster(

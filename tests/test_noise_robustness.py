@@ -33,12 +33,15 @@ def test_operating_point_thresholds(tmp_path):
     runs, agg = run_point_seeds(str(tmp_path), scene, cam, n_frames=24,
                                 seeds=(2, 3, 4), depth_noise=0.02,
                                 bbox_jitter=2.0, det_dropout=0.2)
+    print("operating-point agg:", agg)
     # all objects recovered in every seed despite the corruption...
     assert agg["covered_min"] == agg["objects_gt"] == 4, (runs, agg)
     # ...with bounded SEED-MEDIAN error (a single-seed pin was hostage
     # to one bad draw — the round-4 dropout inversion; medians keep the
     # pin tight while hour-to-hour f32 jitter cannot flake it, and a
-    # broken gate or association regression blows straight through)
-    assert agg["center_p50_m_med"] < 0.12, agg
-    assert agg["center_max_m_med"] < 0.40, agg
-    assert agg["iou_mean_med"] > 0.30, agg
+    # broken gate or association regression blows straight through).
+    # Pins = ~3x the measured seed medians (p50 0.020 / max 0.028 /
+    # IoU 0.82, 2026-08-22 — BENCH_DETAILS round 5)
+    assert agg["center_p50_m_med"] < 0.06, agg
+    assert agg["center_max_m_med"] < 0.10, agg
+    assert agg["iou_mean_med"] > 0.55, agg

@@ -260,10 +260,17 @@ def test_connected_components_compact_identical():
         # where the tier engages.  (Measured dormant on cabinet: device
         # survivors are 5-6.6k at the 16384 tier, always under N/2 —
         # BENCH_DETAILS round 5.)
-        c = np.asarray(cl.components_compacted(
-            jnp.asarray(pts), jnp.asarray(mask), 0.05, 48, 12,
-            (3 * N) // 4))
-        assert np.array_equal(a, c), frac
+        # every ladder rung of frontend._cluster_select_batch maps
+        # labels identically (rungs are chosen with sum(mask) <= cap;
+        # 0.3N survivors fit all of these, 0.7N only the 3/4 rung).
+        # (The ladder was measured to move cabinet's 5-6.6k-survivor
+        # frames from the 8192 rung to 6144 — BENCH_DETAILS round 5.)
+        for cap in (N // 4, (3 * N) // 8, N // 2, (3 * N) // 4):
+            if int(mask.sum()) > cap:
+                continue
+            c = np.asarray(cl.components_compacted(
+                jnp.asarray(pts), jnp.asarray(mask), 0.05, 48, 12, cap))
+            assert np.array_equal(a, c), (frac, cap)
 
 
 def test_connected_components_chain_variants_identical():
