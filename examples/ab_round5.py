@@ -6,6 +6,7 @@ on the worst cabinet frames, and the offline protocol ladder
 (monolithic vs split-exact vs split-quantized) against the online pass.
 Prints one JSON line; results land in BENCH_DETAILS.md round 5.
 """
+import argparse
 import dataclasses
 import json
 import os
@@ -17,8 +18,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
+# ext-section ladder variants: fine (default, r5b: +5/16 & 7/16 rungs at
+# a 1024-row pass block), coarse (the first-r5 2048-aligned ladder),
+# half-N-only (pre-r5).  kwargs applied over the production config.
+LADDERS = (("fine", {}),
+           ("coarse", {"compact_rungs": (4, 6, 8, 12)}),
+           ("halfN", {"compact_tiers": False}))
+
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=("all", "online", "ext", "offline"),
+                    default="all", help="run a single section")
+    opt = ap.parse_args()
+
     import jax.numpy as jnp
     from object_oriented_slam_tpu.io import TUMDataset
     from object_oriented_slam_tpu.system.offline import OfflineMapper
@@ -31,24 +44,31 @@ def main():
     t0 = time.perf_counter()
     slam_w, _, _, _ = bench.run_pipeline(frames)
     out["online_warm_s"] = round(time.perf_counter() - t0, 1)
-    best = None
-    for _ in range(2):
-        _, pf, drain, per_call = bench.run_pipeline(frames)
-        mean = (sum(pf) + drain) / n * 1e3
-        if best is None or mean < best[0]:
-            best = (mean, pf, per_call)
-    mean, pf, per_call = best
-    pf_ms = np.asarray(pf) * 1e3
-    out["online_ms_mean"] = round(mean, 2)
-    out["online_p50_ms"] = round(float(np.median(pf_ms)), 2)
-    out["online_p90_ms"] = round(float(np.percentile(pf_ms, 90)), 2)
-    out["online_frame0_ms"] = round(float(pf_ms[0]), 2)
-    out["online_max_ms"] = round(float(pf_ms.max()), 2)
-    out.update(bench.attribute_tail(pf_ms, per_call))
+    if opt.only in ("all", "online", "offline"):
+        best = None
+        for _ in range(2):
+            _, pf, drain, per_call = bench.run_pipeline(frames)
+            mean = (sum(pf) + drain) / n * 1e3
+            if best is None or mean < best[0]:
+                best = (mean, pf, per_call)
+        mean, pf, per_call = best
+        pf_ms = np.asarray(pf) * 1e3
+        out["online_ms_mean"] = round(mean, 2)
+        out["online_p50_ms"] = round(float(np.median(pf_ms)), 2)
+        out["online_p90_ms"] = round(float(np.percentile(pf_ms, 90)), 2)
+        out["online_frame0_ms"] = round(float(pf_ms[0]), 2)
+        out["online_max_ms"] = round(float(pf_ms.max()), 2)
+        out.update(bench.attribute_tail(pf_ms, per_call))
 
-    # ---- 3/4-N compacted clustering tier A/B -------------------------
-    # worst near-camera frames (33-39: 11-13k survivors at the 16384
-    # tier) + frame 25 control (fits the half-N compaction either way)
+    if opt.only not in ("all", "ext"):
+        if opt.only == "online":
+            print(json.dumps(out))
+            return
+        return _offline(out, frames, OfflineMapper)
+
+    # ---- compacted clustering ladder A/B ------------------------------
+    # worst near-camera frames (measured 5.0-6.6k cluster-input survivors
+    # at the 16384 tier) + frame 25 control
     from object_oriented_slam_tpu.frontend.extractor import (_extract_packed,
                                                              _pack_frame)
     _, cam, ext_cfg = bench.make_system()
@@ -56,8 +76,8 @@ def main():
     for fid in (25, 37, 39, 41, 45):
         i, ts, pose, depth, rgb, det = frames[fid]
         det = np.asarray(det, np.float64).reshape(-1, 8)
-        for tag, ladder in (("ladder", True), ("halfN", False)):
-            cfg_v = dataclasses.replace(ext_cfg, compact_tiers=ladder)
+        for tag, kw in LADDERS:
+            cfg_v = dataclasses.replace(ext_cfg, **kw)
             h = _pack_frame(cam, cfg_v, depth, det[:, 1:5],
                             det[:, 5].astype(int), pose.astype(np.float32),
                             gp)
@@ -74,6 +94,13 @@ def main():
         print(json.dumps({k: v for k, v in out.items()
                           if f"f{fid}" in k}), flush=True)
 
+    if opt.only == "ext":
+        print(json.dumps(out))
+        return
+    _offline(out, frames, OfflineMapper)
+
+
+def _offline(out, frames, OfflineMapper):
     # ---- offline ladder ----------------------------------------------
     def run_off(tag, **kw):
         slam_o, cam_o, cfg_o = bench.make_system()

@@ -81,16 +81,23 @@ class ExtractorConfig:
                               # pass on this latency-dominated device).
                               # Kept selectable for low-op-latency
                               # devices; see BENCH_DETAILS round 5.
-    compact_tiers: bool = True  # compaction-capacity ladder {N/4, 3N/8,
-                                # N/2, 3N/4} (block-aligned rungs only)
-                                # instead of half-N-only: each frame's
-                                # clustering pays the smallest rung that
-                                # holds its survivors — quadratic pass
-                                # cost, so the 6144 rung the 5-6.6k-
-                                # survivor cabinet frames land on is
-                                # ~44 % cheaper than the old 8192.
+    compact_tiers: bool = True  # compaction-capacity ladder
+                                # {4,5,6,7,8,12}·N/16 (1024-aligned
+                                # rungs; 1024-row pass block on the
+                                # non-2048-aligned ones) instead of
+                                # half-N-only: each frame's clustering
+                                # pays the smallest rung that holds its
+                                # survivors — quadratic pass cost, so
+                                # the 5120-7168 rungs the 5-6.6k-
+                                # survivor cabinet frames land on are
+                                # 22-61 % cheaper than the old 8192.
                                 # Labels identical at every rung
                                 # (VERDICT r4 #3; A/B BENCH_DETAILS r5)
+    compact_rungs: tuple = (4, 5, 6, 7, 8, 12)  # ladder caps in
+                                # sixteenths of N (1024-alignment
+                                # filtered per tier); (4, 6, 8, 12) is
+                                # the pre-r5b coarse ladder, kept
+                                # selectable for A/Bs
     grid_cluster: bool = False  # O(N*C) grid-hash clustering — exact and
                                 # asymptotically better, but the remote
                                 # TPU toolchain pathologizes its gathers
@@ -204,6 +211,25 @@ def _stage_post_one(pts_w, sel, battr_v, pose_wc, ground_plane,
     return Two, pts_n, obj_m, sym_src
 
 
+def _ladder_caps(N: int, cfg: ExtractorConfig):
+    """Compaction-ladder rungs for an ``N``-lane cloud tier: ``[(cap,
+    pass_block), ...]`` ascending.  Rungs come from ``cfg.compact_rungs``
+    (sixteenths of N); caps divisible by 2048 tile at the measured-best
+    default pass block (ops.cluster._BLOCK), remaining 1024-aligned caps
+    tile at 1024 rows, anything finer is dropped (pad-free tiling only —
+    labels are tiling-invariant either way)."""
+    if not cfg.compact_tiers:
+        return [(N // 2, None)]
+    caps = []
+    for k in sorted(cfg.compact_rungs):
+        c = (k * N) // 16
+        if c % 2048 == 0 and c >= 2048:
+            caps.append((c, None))
+        elif c % 1024 == 0 and c >= 1024:
+            caps.append((c, 1024))
+    return caps
+
+
 def _cluster_select_batch(pts_v, pts_w, cells_v, m2, center_w,
                           cam: Camera, cfg: ExtractorConfig):
     """Stage (d) for the whole detection batch, with the compact-vs-full
@@ -227,34 +253,30 @@ def _cluster_select_batch(pts_v, pts_w, cells_v, m2, center_w,
         vm_full = jax.vmap(lambda p, m: cl.connected_components(
             p, m, tol, outer_iters=it, with_converged=True, chains=ch))
         if N >= 4096:
-            def vm_comp_at(cap):
+            def vm_comp_at(cap, block):
                 return jax.vmap(lambda p, m: cl.components_compacted(
                     p, m, tol, it, 12, cap, with_converged=True,
-                    chains=ch))
+                    chains=ch, block=block))
             maxs = jnp.max(jnp.sum(m2, axis=1))
-            if cfg.compact_tiers:
-                # compaction-capacity LADDER: smallest block-aligned cap
-                # in {N/4, 3N/8, N/2, 3N/4} that holds the frame's
-                # survivors (pass cost is quadratic in the cap, so each
-                # finer tier cuts the dominant device stage ~44 % vs the
-                # next; cabinet near-camera frames carry 5.0-6.6k
-                # survivors at the 16384 tier -> the 6144 rung, where the
-                # old half-N-only compaction paid 8192^2).  Labels are
-                # identical at every rung (components_compacted's stable
-                # index mapping).  Reference hot loop:
-                # EllipsoidExtractor.cpp:646-737 (PCL KdTree clustering).
-                caps = [c for c in (N // 4, (3 * N) // 8, N // 2,
-                                    (3 * N) // 4)
-                        if c % cl._BLOCK == 0 and c >= cl._BLOCK]
-            else:
-                caps = [N // 2]
+            # compaction-capacity LADDER: smallest rung (see
+            # _ladder_caps) that holds the frame's survivors.  Pass
+            # cost is quadratic in the cap, so each finer tier cuts
+            # the dominant device stage vs the next; cabinet
+            # near-camera frames carry 5.0-6.6k survivors at the
+            # 16384 tier -> the 5120-7168 rungs, where the old
+            # half-N-only compaction paid 8192^2.  Labels are
+            # identical at every rung (components_compacted's stable
+            # index mapping).  Reference hot loop:
+            # EllipsoidExtractor.cpp:646-737 (PCL KdTree clustering).
+            caps = _ladder_caps(N, cfg)
 
             def ladder(k):
                 if k >= len(caps):
                     return vm_full(pts_w, m2)
+                cap, blk = caps[k]
                 return jax.lax.cond(
-                    maxs <= caps[k],
-                    lambda _: vm_comp_at(caps[k])(pts_w, m2),
+                    maxs <= cap,
+                    lambda _: vm_comp_at(cap, blk)(pts_w, m2),
                     lambda _: ladder(k + 1), None)
 
             labels, conv = ladder(0)

@@ -45,20 +45,24 @@ _BLOCK = 2048  # pass-block rows.  512 -> 2048 measured 13 % faster on
 #                labels bit-identical; 4096 is equal to 2048) — fewer
 #                scan steps amortize the per-step op latency.  Blocks
 #                clamp to the cloud size, so small test clouds and the
-#                CPU mesh see one block either way.
+#                CPU mesh see one block either way.  Pass functions take
+#                an optional ``block`` override so finer compaction
+#                rungs (1024-aligned caps like 5120/7168) stay
+#                pad-free; labels are tiling-invariant.
 
 
-def _min_label_pass(pts, mask, labels, tol2):
+def _min_label_pass(pts, mask, labels, tol2, block=None):
     """One exact pass: label_i <- min over neighbors j of label_j."""
     N = pts.shape[0]
-    n_blocks = (N + _BLOCK - 1) // _BLOCK
-    pts_pad = jnp.pad(pts, ((0, n_blocks * _BLOCK - N), (0, 0)))
-    mask_pad = jnp.pad(mask, (0, n_blocks * _BLOCK - N))
+    _B = block or _BLOCK
+    n_blocks = (N + _B - 1) // _B
+    pts_pad = jnp.pad(pts, ((0, n_blocks * _B - N), (0, 0)))
+    mask_pad = jnp.pad(mask, (0, n_blocks * _B - N))
 
     def body(carry, b):
-        block_pts = jax.lax.dynamic_slice(pts_pad, (b * _BLOCK, 0),
-                                          (_BLOCK, 3))
-        block_mask = jax.lax.dynamic_slice(mask_pad, (b * _BLOCK,), (_BLOCK,))
+        block_pts = jax.lax.dynamic_slice(pts_pad, (b * _B, 0),
+                                          (_B, 3))
+        block_mask = jax.lax.dynamic_slice(mask_pad, (b * _B,), (_B,))
         # [B, N] squared distances
         d2 = jnp.sum((block_pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
         adj = (d2 <= tol2) & block_mask[:, None] & mask[None, :]
@@ -71,19 +75,20 @@ def _min_label_pass(pts, mask, labels, tol2):
     return jnp.where(mask, jnp.minimum(labels, new_labels), labels)
 
 
-def _min_label_pass_mm(pts, nrm, mask, labels, tol2):
+def _min_label_pass_mm(pts, nrm, mask, labels, tol2, block=None):
     """One MXU pass over pre-centered points with precomputed |x|^2."""
     N = pts.shape[0]
-    n_blocks = (N + _BLOCK - 1) // _BLOCK
-    pts_pad = jnp.pad(pts, ((0, n_blocks * _BLOCK - N), (0, 0)))
-    nrm_pad = jnp.pad(nrm, (0, n_blocks * _BLOCK - N))
-    mask_pad = jnp.pad(mask, (0, n_blocks * _BLOCK - N))
+    _B = block or _BLOCK
+    n_blocks = (N + _B - 1) // _B
+    pts_pad = jnp.pad(pts, ((0, n_blocks * _B - N), (0, 0)))
+    nrm_pad = jnp.pad(nrm, (0, n_blocks * _B - N))
+    mask_pad = jnp.pad(mask, (0, n_blocks * _B - N))
 
     def body(carry, b):
-        block_pts = jax.lax.dynamic_slice(pts_pad, (b * _BLOCK, 0),
-                                          (_BLOCK, 3))
-        block_nrm = jax.lax.dynamic_slice(nrm_pad, (b * _BLOCK,), (_BLOCK,))
-        block_mask = jax.lax.dynamic_slice(mask_pad, (b * _BLOCK,), (_BLOCK,))
+        block_pts = jax.lax.dynamic_slice(pts_pad, (b * _B, 0),
+                                          (_B, 3))
+        block_nrm = jax.lax.dynamic_slice(nrm_pad, (b * _B,), (_B,))
+        block_mask = jax.lax.dynamic_slice(mask_pad, (b * _B,), (_B,))
         cross = jax.lax.dot_general(block_pts, pts, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         d2 = block_nrm[:, None] + nrm[None, :] - 2.0 * cross
@@ -241,7 +246,7 @@ def _propagate(pass_fn, labels0, N, outer_iters, jump_iters,
 def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
                          outer_iters: int = 8, jump_iters: int = 12,
                          exact: bool = False, with_converged: bool = False,
-                         chains: int = -1):
+                         chains: int = -1, block: int | None = None):
     """Labels [N]: each point's component id = min point index in component.
 
     Masked-out points get label N (out of range).  With
@@ -253,6 +258,8 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
     rounds ~2x in simulation but measured net-negative on the tunneled
     v5e, where a chain pass costs about one dense pass (BENCH_DETAILS
     round 5); positive values are for low-op-latency devices.
+    ``block`` overrides the distance-pass tile rows (labels are
+    tiling-invariant; finer compaction rungs pass 1024).
     """
     N = pts.shape[0]
     tol2 = jnp.float32(tol * tol)
@@ -272,8 +279,9 @@ def connected_components(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
 
     def pass_fn(labels):
         if exact:
-            return _min_label_pass(pts, mask, labels, tol2)
-        return _min_label_pass_mm(pts_c, nrm, mask, labels, tol2)
+            return _min_label_pass(pts, mask, labels, tol2, block=block)
+        return _min_label_pass_mm(pts_c, nrm, mask, labels, tol2,
+                                  block=block)
 
     labels, conv = _propagate(pass_fn, labels0, N, outer_iters, jump_iters,
                               interleave)
@@ -371,7 +379,7 @@ def connected_components_grid(pts: jnp.ndarray, cells: jnp.ndarray,
 def components_compacted(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
                          outer_iters: int, jump_iters: int,
                          compact_cap: int, with_converged: bool = False,
-                         chains: int = -1):
+                         chains: int = -1, block: int | None = None):
     """Components with the unmasked points compacted into the front
     ``compact_cap`` lanes — PRECONDITION: sum(mask) <= compact_cap (the
     caller must guarantee it, e.g. with an outer lax.cond; overflowed
@@ -391,7 +399,8 @@ def components_compacted(pts: jnp.ndarray, mask: jnp.ndarray, tol: float,
     sub = order[:compact_cap].astype(jnp.int32)
     lab_c, conv = connected_components(pts[sub], mask[sub], tol,
                                        outer_iters, jump_iters,
-                                       with_converged=True, chains=chains)
+                                       with_converged=True, chains=chains,
+                                       block=block)
     orig = jnp.where(lab_c < compact_cap,
                      sub[jnp.clip(lab_c, 0, compact_cap - 1)],
                      jnp.int32(N))

@@ -262,14 +262,20 @@ def test_connected_components_compact_identical():
         # BENCH_DETAILS round 5.)
         # every ladder rung of frontend._cluster_select_batch maps
         # labels identically (rungs are chosen with sum(mask) <= cap;
-        # 0.3N survivors fit all of these, 0.7N only the 3/4 rung).
-        # (The ladder was measured to move cabinet's 5-6.6k-survivor
-        # frames from the 8192 rung to 6144 — BENCH_DETAILS round 5.)
-        for cap in (N // 4, (3 * N) // 8, N // 2, (3 * N) // 4):
+        # 0.3N survivors fit all of these, 0.7N only the 3/4 rung) —
+        # including the finer 1024-aligned rungs added round 5, which
+        # tile the distance pass at 1024 rows instead of _BLOCK
+        # (labels are tiling-invariant).  (The ladder was measured to
+        # move cabinet's 5-6.6k-survivor frames off the 8192 rung —
+        # BENCH_DETAILS round 5.)
+        for cap in (N // 4, (5 * N) // 16, (3 * N) // 8, (7 * N) // 16,
+                    N // 2, (3 * N) // 4):
             if int(mask.sum()) > cap:
                 continue
+            blk = None if cap % 2048 == 0 else 1024
             c = np.asarray(cl.components_compacted(
-                jnp.asarray(pts), jnp.asarray(mask), 0.05, 48, 12, cap))
+                jnp.asarray(pts), jnp.asarray(mask), 0.05, 48, 12, cap,
+                block=blk))
             assert np.array_equal(a, c), (frac, cap)
 
 
@@ -342,3 +348,28 @@ def test_eigh3_closed_form():
         # right-handed basis (v1 = v2 x v0 by construction)
         det = np.linalg.det(vecs)
         assert np.all(det > 0.99), name
+
+
+def test_ladder_caps_rung_selection():
+    """frontend._ladder_caps: rungs in sixteenths of N, pad-free tiling
+    only (2048-aligned caps at the default pass block, 1024-aligned at
+    1024 rows, finer dropped), ascending; compact_tiers=False = the
+    pre-r5 half-N-only policy."""
+    import dataclasses
+    from object_oriented_slam_tpu.frontend.extractor import (
+        ExtractorConfig, _ladder_caps)
+
+    cfg = ExtractorConfig()
+    assert _ladder_caps(16384, cfg) == [
+        (4096, None), (5120, 1024), (6144, None), (7168, 1024),
+        (8192, None), (12288, None)]
+    # N/16 = 512: the 5/16 and 7/16 rungs are not 1024-aligned -> dropped
+    assert _ladder_caps(8192, cfg) == [
+        (2048, None), (3072, 1024), (4096, None), (6144, None)]
+    coarse = dataclasses.replace(cfg, compact_rungs=(4, 6, 8, 12))
+    assert _ladder_caps(16384, coarse) == [
+        (4096, None), (6144, None), (8192, None), (12288, None)]
+    half = dataclasses.replace(cfg, compact_tiers=False)
+    assert _ladder_caps(16384, half) == [(8192, None)]
+    caps = _ladder_caps(16384, cfg)
+    assert caps == sorted(caps), "ladder must ascend"
