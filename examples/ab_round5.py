@@ -30,6 +30,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=("all", "online", "ext", "offline"),
                     default="all", help="run a single section")
+    ap.add_argument("--batch", type=int, nargs="+", default=[8],
+                    help="offline batch size(s) — per-program overhead "
+                         "amortizes as 2 programs per B frames")
     opt = ap.parse_args()
 
     import jax.numpy as jnp
@@ -64,7 +67,7 @@ def main():
         if opt.only == "online":
             print(json.dumps(out))
             return
-        return _offline(out, frames, OfflineMapper)
+        return _offline(out, frames, OfflineMapper, opt.batch)
 
     # ---- compacted clustering ladder A/B ------------------------------
     # worst near-camera frames (measured 5.0-6.6k cluster-input survivors
@@ -97,33 +100,38 @@ def main():
     if opt.only == "ext":
         print(json.dumps(out))
         return
-    _offline(out, frames, OfflineMapper)
+    _offline(out, frames, OfflineMapper, opt.batch)
 
 
-def _offline(out, frames, OfflineMapper):
+def _offline(out, frames, OfflineMapper, batches=(8,)):
     # ---- offline ladder ----------------------------------------------
-    def run_off(tag, **kw):
+    ms_keys = []
+
+    def run_off(tag, B, **kw):
         slam_o, cam_o, cfg_o = bench.make_system()
-        mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=8, **kw)
+        mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=B, **kw)
         mapper.run(iter(frames))                     # warm
         stats = None
         for _ in range(2):
             slam_o, cam_o, cfg_o = bench.make_system()
-            mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=8, **kw)
+            mapper = OfflineMapper(slam_o, cam_o, cfg_o, batch_size=B, **kw)
             s = mapper.run(iter(frames))
             if stats is None or s["seconds"] < stats["seconds"]:
                 stats = s
-        out[f"off_{tag}_fps"] = round(stats["fps"], 2)
-        out[f"off_{tag}_ms"] = round(
-            stats["seconds"] / stats["frames"] * 1e3, 2)
+        sfx = "" if B == 8 else f"_b{B}"
+        out[f"off_{tag}{sfx}_fps"] = round(stats["fps"], 2)
+        key = f"off_{tag}{sfx}_ms"
+        out[key] = round(stats["seconds"] / stats["frames"] * 1e3, 2)
+        ms_keys.append(key)
+        print(json.dumps({k: v for k, v in out.items()
+                          if f"off_{tag}{sfx}_" in k}), flush=True)
 
-    run_off("mono")
-    run_off("split_exact", split=True, split_quant=False)
-    run_off("split_quant", split=True, split_quant=True)
+    for B in batches:
+        run_off("mono", B)
+        run_off("split_exact", B, split=True, split_quant=False)
+        run_off("split_quant", B, split=True, split_quant=True)
     out["off_best_vs_online"] = round(
-        out["online_ms_mean"] / min(out["off_mono_ms"],
-                                    out["off_split_exact_ms"],
-                                    out["off_split_quant_ms"]), 2)
+        out["online_ms_mean"] / min(out[k] for k in ms_keys), 2)
     print(json.dumps(out))
 
 
